@@ -1,0 +1,16 @@
+"""Test configuration: force CPU with a virtual 8-device mesh and fp64.
+
+The multi-device tests emulate an 8-chip TPU slice on CPU (the analog of the
+reference's ``mpirun -np N`` single-box testing, SURVEY.md section 4), and the
+physics tests run in float64 for tight analytic tolerances.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,161 @@
+"""HEALPix index machinery vs golden vectors dumped from the reference's
+compiled healpix_utils.c (tools/gen_healpix_fixtures.c)."""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from calclens_tpu.healpix import core as hp
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+class Golden:
+    def __init__(self, path):
+        with open(path, "rb") as f:
+            buf = f.read()
+        off = 0
+
+        def take(dtype, n):
+            nonlocal off
+            a = np.frombuffer(buf, dtype=dtype, count=n, offset=off)
+            off += a.nbytes
+            return a
+
+        self.order, self.N = take(np.int64, 2)
+        N = self.N
+        self.pix = take(np.int64, N)
+        self.nest2ring = take(np.int64, N)
+        self.ring2nest = take(np.int64, N)
+        self.nest2peano = take(np.int64, N)
+        self.peano2nest = take(np.int64, N)
+        self.ring2ang = take(np.float64, 2 * N).reshape(N, 2)
+        self.ang = take(np.float64, 2 * N).reshape(N, 2)
+        self.ang2ring = take(np.int64, N)
+        self.ang2nest = take(np.int64, N)
+        interp = []
+        for i in range(N):
+            p = take(np.int64, 4)
+            w = take(np.float64, 4)
+            interp.append((p, w))
+        self.interp_pix = np.array([p for p, w in interp])
+        self.interp_wgt = np.array([w for p, w in interp])
+        nring = 4 * (1 << self.order) - 1
+        ri = []
+        for r in range(nring):
+            sp = take(np.int64, 1)[0]
+            rp = take(np.int64, 1)[0]
+            ct = take(np.float64, 1)[0]
+            st = take(np.float64, 1)[0]
+            sh = take(np.int64, 1)[0]
+            ri.append((sp, rp, ct, st, sh))
+        self.ringinfo = np.array(ri, dtype=np.float64)
+        assert off == len(buf)
+
+
+@pytest.fixture(scope="module", params=[2, 5, 9])
+def golden(request):
+    path = os.path.join(FIXDIR, f"healpix_golden_order{request.param}.bin")
+    if not os.path.exists(path):
+        pytest.skip("golden fixtures not generated")
+    return Golden(path)
+
+
+def test_nest_ring_conversions(golden):
+    g = golden
+    np.testing.assert_array_equal(hp.nest2ring(g.pix, g.order), g.nest2ring)
+    np.testing.assert_array_equal(hp.ring2nest(g.pix, g.order), g.ring2nest)
+
+
+def test_peano_conversions(golden):
+    g = golden
+    np.testing.assert_array_equal(hp.nest2peano(g.pix, g.order), g.nest2peano)
+    np.testing.assert_array_equal(hp.peano2nest(g.pix, g.order), g.peano2nest)
+    # roundtrip
+    np.testing.assert_array_equal(
+        hp.peano2nest(hp.nest2peano(g.pix, g.order), g.order), g.pix
+    )
+
+
+def test_pix2ang_ring(golden):
+    g = golden
+    theta, phi = hp.pix2ang_ring(g.pix, g.order)
+    np.testing.assert_allclose(theta, g.ring2ang[:, 0], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(phi, g.ring2ang[:, 1], rtol=0, atol=1e-12)
+
+
+def test_ang2pix(golden):
+    g = golden
+    np.testing.assert_array_equal(
+        hp.ang2pix_ring(g.ang[:, 0], g.ang[:, 1], g.order), g.ang2ring
+    )
+    np.testing.assert_array_equal(
+        hp.ang2pix_nest(g.ang[:, 0], g.ang[:, 1], g.order), g.ang2nest
+    )
+
+
+def test_get_interpol(golden):
+    g = golden
+    pix, wgt = hp.get_interpol(g.ang[:, 0], g.ang[:, 1], g.order)
+    np.testing.assert_array_equal(pix, g.interp_pix)
+    np.testing.assert_allclose(wgt, g.interp_wgt, rtol=0, atol=1e-11)
+
+
+def test_ring_info(golden):
+    g = golden
+    rt = hp.build_ring_table(g.order)
+    np.testing.assert_array_equal(rt.startpix, g.ringinfo[:, 0].astype(np.int64))
+    np.testing.assert_array_equal(rt.ringpix, g.ringinfo[:, 1].astype(np.int64))
+    np.testing.assert_allclose(np.cos(rt.theta), g.ringinfo[:, 2], atol=1e-12)
+    np.testing.assert_array_equal(
+        rt.shifted.astype(np.int64), g.ringinfo[:, 4].astype(np.int64)
+    )
+
+
+def test_vector_roundtrips(golden):
+    g = golden
+    order = g.order
+    npix = int(hp.order2npix(order))
+    pix = np.arange(npix, dtype=np.int64) if npix <= 50000 else g.pix
+    np.testing.assert_array_equal(hp.ring2nest(hp.nest2ring(pix, order), order), pix)
+    theta, phi = hp.pix2ang_ring(pix, order)
+    np.testing.assert_array_equal(hp.ang2pix_ring(theta, phi, order), pix)
+    vec = hp.pix2vec_ring(pix, order)
+    np.testing.assert_array_equal(hp.vec2pix_ring(vec, order), pix)
+
+
+def test_interp_weights_sum_to_one(golden):
+    g = golden
+    _, wgt = hp.get_interpol(g.ang[:, 0], g.ang[:, 1], g.order)
+    np.testing.assert_allclose(wgt.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_query_disc_contains_center():
+    order = 6
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        theta = np.arccos(rng.uniform(-1, 1))
+        phi = rng.uniform(0, 2 * np.pi)
+        rad = rng.uniform(0.01, 0.5)
+        pix = hp.query_disc(theta, phi, rad, order)
+        center = hp.ang2pix_ring(theta, phi, order)
+        assert center in pix
+        # every returned pixel center is within radius + pixel diagonal
+        t, p = hp.pix2ang_ring(pix, order)
+        v0 = hp.ang2vec(theta, phi)
+        v = hp.ang2vec(t, p)
+        ang = np.arccos(np.clip(v @ v0, -1, 1))
+        assert np.all(ang <= rad + 2 * np.pi / (4 * (1 << order)))
+
+
+def test_neighbors_nest_reciprocal():
+    order = 4
+    npix = int(hp.order2npix(order))
+    pix = np.arange(npix, dtype=np.int64)
+    nb = hp.neighbors_nest(pix, order)
+    # every pixel appears in its neighbors' neighbor lists
+    for i in [0, 17, 100, npix - 1]:
+        for j in nb[i]:
+            if j >= 0:
+                assert i in hp.neighbors_nest(np.array([j]), order)[0]
