@@ -1,0 +1,75 @@
+"""Batched chirp-Z transform: exact per-ring DFTs with one static shape.
+
+HEALPix rings have 4, 8, ..., 4*nside pixels, so a naive batched FFT cannot
+evaluate every ring's DFT.  The reference runs a separate FFTW plan per ring
+(healpix_shtrans.c:168-205); on TPU that would mean thousands of tiny kernels
+with dynamic shapes.  Instead every ring's length-n DFT is evaluated with the
+Bluestein/chirp-Z factorization at a single padded FFT length L = 8*nside:
+
+    X_k = w_k * IFFT_L( FFT_L(x_j * w_j) * FFT_L(v) )_k,
+    w_t = exp(s*i*pi*t^2/n),  v_t = conj(w_t),  s = -1 analysis / +1 synthesis
+
+which is uniform over rings (n enters only through the chirp phases) and maps
+onto large batched XLA FFTs.  Chirp phases use exact integer reduction
+t^2 mod 2n in int32 (valid for t <= 2^15.5, i.e. nside <= 8192) so phase error
+stays at f32 rounding level even for t^2 ~ 2^30.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _chirp(tmax, n, L, sign, cdtype):
+    """w_t = exp(sign * i*pi*t^2/n) for t = 0..tmax-1, per row n [R]."""
+    rdtype = jnp.float32 if cdtype == jnp.complex64 else jnp.float64
+    t = jnp.arange(tmax, dtype=jnp.int32)[None, :]
+    n = n[:, None].astype(jnp.int32)
+    t2 = (t * t) % (2 * n)  # exact: t*t < 2^31 for t <= 46340
+    ph = (jnp.pi * sign) * (t2.astype(rdtype) / n.astype(rdtype))
+    return (jnp.cos(ph) + 1j * jnp.sin(ph)).astype(cdtype)
+
+
+def czt(x, n, K, L, sign, cdtype):
+    """Chirp-Z transform of each row of x.
+
+    x : [R, N] complex (or real) input rows; entries at j >= n[r] must be 0.
+    n : [R] int32 per-row DFT length (the "ring length").
+    K : number of output frequencies per row (static).
+    sign : +1 evaluates sum_j x_j e^{+2i pi jk/n}, -1 the forward DFT.
+    Returns [R, K] complex.
+    """
+    R, N = x.shape
+    tmax = max(N, K)
+    # X_k = w_k * sum_j (x_j w_j) v_{k-j} with w_t = e^{s i pi t^2/n}, v = conj(w)
+    w = _chirp(tmax, n, L, +sign, cdtype)
+    v = _chirp(tmax, n, L, -sign, cdtype)
+
+    a = jnp.zeros((R, L), dtype=cdtype)
+    a = a.at[:, :N].set(x.astype(cdtype) * w[:, :N])
+    vc = jnp.zeros((R, L), dtype=cdtype)
+    vc = vc.at[:, :tmax].set(v)
+    # wrap negative lags: v_{-t} = v_t at position L - t
+    vc = vc.at[:, L - tmax + 1:].add(v[:, 1:][:, ::-1])
+
+    X = jnp.fft.ifft(jnp.fft.fft(a, axis=1) * jnp.fft.fft(vc, axis=1), axis=1)
+    return X[:, :K] * w[:, :K]
+
+
+def czt_blocked(x, n, K, L, sign, cdtype, block):
+    """Apply czt in row blocks of size `block` to bound peak memory."""
+    R = x.shape[0]
+    assert R % block == 0, (R, block)
+    xb = x.reshape(R // block, block, x.shape[1])
+    nb = n.reshape(R // block, block)
+    f = partial(_czt_block, K=K, L=L, sign=sign, cdtype=cdtype)
+    out = jax.lax.map(f, (xb, nb))
+    return out.reshape(R, K)
+
+
+def _czt_block(args, K, L, sign, cdtype):
+    xb, nb = args
+    return czt(xb, nb, K, L, sign, cdtype)

@@ -1,0 +1,137 @@
+"""SHT plan: static host-built tables for a given HEALPix order.
+
+TPU-native replacement for the reference's ``healpixsht_plan``
+(healpix_shtrans.c:54-160).  Where the reference plans a ring/m MPI
+decomposition with a polynomial cost model, the TPU formulation is dense and
+statically shaped: every per-ring quantity becomes a padded device array, the
+ring<->m "transpose" becomes an axis choice in sharded matmuls (map space is
+sharded by rings, harmonic space by m; `lax.all_to_all` converts between the
+two in the multi-chip path), and load balance is exact by construction because
+per-ring compute is uniform after padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..healpix import core as hp
+
+
+class SHTPlan:
+    """Static geometry + device tables for spherical-harmonic transforms.
+
+    Parameters
+    ----------
+    order : HEALPix order of the map (nside = 2**order).
+    lmax : band limit; defaults to 3*nside - 1 (reference healpix_shtrans.c:518).
+    dtype : jnp.float32 or jnp.float64 (CPU tests).
+    ring_weights : optional [4*nside] array of quadrature ring-weight
+        corrections w_r (the reference's ring weight files store w_r - 1...
+        here pass the full multiplicative correction, 1.0 = uniform).
+    """
+
+    def __init__(self, order, lmax=None, dtype=jnp.float32, ring_weights=None,
+                 ring_block=None, lblock=16):
+        self.order = int(order)
+        self.nside = nside = 1 << self.order
+        assert nside <= 8192, "CZT int32 phase arithmetic requires nside <= 8192"
+        self.npix = int(hp.order2npix(order))
+        self.lmax = int(lmax) if lmax is not None else 3 * nside - 1
+        self.nm = self.lmax + 1
+        self.nl = self.lmax + 1
+        self.nrings = 4 * nside - 1
+        self.J = 2 * nside  # number of northern ring pairs incl. equator
+        self.P = 4 * nside  # max pixels per ring (padded ring length)
+        self.L = 8 * nside  # CZT FFT length (>= P + max(P, nm) - 1)
+        self.dtype = dtype
+        self.cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        self.lblock = int(lblock)
+        if ring_block is None:
+            ring_block = max(64, min(4096, (1 << 26) // self.L))
+        # pad rings to a multiple of ring_block for lax.map chunking
+        self.ring_block = int(ring_block)
+        self.nrings_pad = ((self.nrings + ring_block - 1) // ring_block) * ring_block
+
+        rt = hp.build_ring_table(order)
+        self.rt = rt
+
+        # --- host tables ---
+        npr = np.zeros(self.nrings_pad, dtype=np.int64)
+        npr[: self.nrings] = rt.ringpix
+        npr[self.nrings:] = 4  # harmless dummy rings (masked out)
+        self.npix_ring = npr
+        start = np.zeros(self.nrings_pad, dtype=np.int64)
+        start[: self.nrings] = rt.startpix
+        self.startpix = start
+        shifted = np.zeros(self.nrings_pad, dtype=np.int64)
+        shifted[: self.nrings] = rt.shifted.astype(np.int64)
+        self.shift_host = shifted
+        theta = np.full(self.nrings_pad, np.pi / 2, dtype=np.float64)
+        theta[: self.nrings] = rt.theta
+        self.theta_host = theta
+
+        # flat gather index: map[npix] -> ring matrix [nrings_pad, P]
+        ringidx = np.zeros((self.nrings_pad, self.P), dtype=np.int64)
+        ringmask = np.zeros((self.nrings_pad, self.P), dtype=bool)
+        for r in range(self.nrings):
+            n = rt.ringpix[r]
+            ringidx[r, :n] = rt.startpix[r] + np.arange(n)
+            ringmask[r, :n] = True
+        assert self.npix < 2**31, "device int32 gather limit"
+        self.ring_gather = jnp.asarray(ringidx, dtype=jnp.int32)
+        self._ringidx_host = ringidx
+        self.ring_mask = jnp.asarray(ringmask)
+
+        # inverse: ring matrix flattened [nrings_pad * P] -> map[npix]
+        flat = np.zeros(self.npix, dtype=np.int64)
+        for r in range(self.nrings):
+            n = rt.ringpix[r]
+            flat[rt.startpix[r]: rt.startpix[r] + n] = r * self.P + np.arange(n)
+        self.map_gather = jnp.asarray(flat, dtype=jnp.int64 if self.nrings_pad * self.P >= 2**31 else jnp.int32)
+
+        # quadrature weights: 4pi/npix times optional ring correction
+        w = np.full(self.nrings_pad, 4.0 * np.pi / self.npix, dtype=np.float64)
+        if ring_weights is not None:
+            rw = np.asarray(ring_weights, dtype=np.float64)
+            # ring_weights indexed by pair (0..2nside-1); expand to all rings
+            pair = np.minimum(np.arange(self.nrings), self.nrings - 1 - np.arange(self.nrings))
+            w[: self.nrings] *= rw[pair]
+        w[self.nrings:] = 0.0
+        self.qweight_host = w
+
+        # --- northern-half tables (pair index j: ring j north, ring
+        #     nrings-1-j south; j == J-1 is the equator, its own partner) ---
+        jj = np.arange(self.J)
+        th = rt.theta[jj]
+        self.cth = jnp.asarray(np.cos(th), dtype=dtype)
+        self.sth = jnp.asarray(np.sin(th), dtype=dtype)
+        self.cot = jnp.asarray(np.cos(th) / np.sin(th), dtype=dtype)
+        self.inv_sth = jnp.asarray(1.0 / np.sin(th), dtype=dtype)
+        self.wN = jnp.asarray(w[jj], dtype=dtype)
+        wS = w[self.nrings - 1 - jj].copy()
+        wS[self.J - 1] = 0.0  # equator has no southern partner
+        self.wS = jnp.asarray(wS, dtype=dtype)
+
+        # per-ring dtype tables on device
+        self.theta_dev = jnp.asarray(theta, dtype=dtype)
+        self.sth_ring = jnp.asarray(np.sin(theta), dtype=dtype)
+        self.cot_ring = jnp.asarray(np.cos(theta) / np.sin(theta), dtype=dtype)
+        self.n_dev = jnp.asarray(npr, dtype=jnp.int32)
+        self.shift_dev = jnp.asarray(shifted, dtype=jnp.int32)
+        self.qweight_dev = jnp.asarray(w, dtype=dtype)
+
+        # m index vector
+        self.m_int = jnp.arange(self.nm, dtype=jnp.int32)
+        self.m_f = jnp.arange(self.nm, dtype=dtype)
+
+    def rings_to_map(self, X):
+        """[..., nrings_pad, P] ring matrix -> [..., npix] RING-ordered map."""
+        flatX = X.reshape(X.shape[:-2] + (self.nrings_pad * self.P,))
+        return jnp.take(flatX, self.map_gather, axis=-1)
+
+    def map_to_rings(self, m):
+        """[..., npix] RING-ordered map -> [..., nrings_pad, P] (zero padded)."""
+        X = jnp.take(m, self.ring_gather.reshape(-1), axis=-1)
+        X = X.reshape(m.shape[:-1] + (self.nrings_pad, self.P))
+        return jnp.where(self.ring_mask, X, 0)
