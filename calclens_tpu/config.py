@@ -95,6 +95,7 @@ class RayTraceConfig:
     # --- TPU runtime extras (no reference analog) ---
     Precision: str = "f32"            # f32 | f64 device compute dtype
     MeshShape: str = ""               # e.g. "8" or "4x2" for the SHT mesh
+    SmoothingBeamFWHM: float = 0.0    # Gaussian l-space beam FWHM [rad]; 0 = off
 
     # derived (filled by finalize)
     UseHEALPixLensPlaneMaps: bool = False

@@ -1,0 +1,197 @@
+"""Device-side (JAX) HEALPix geometry for the hot paths.
+
+Only the operations needed inside jitted compute are implemented here:
+RING-scheme ang->pix (particle deposit), pix->unit-vector (interpolation
+neighbors), and the 4-pixel bilinear ``get_interpol`` (field interpolation to
+rays).  Valid for order <= 13 (pixel indices < 2^31, int32).  Host-side code
+uses healpix.core (numpy int64) instead.
+
+Numerical care in f32: polar-cap z is computed via 1-z (exact small quantity)
+so sin(theta) stays accurate near the poles, and integer sqrt uses a
+float-then-correct scheme so ring decoding is exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import core as hp
+
+
+def _isqrt_dev(x):
+    """Exact integer sqrt for int32 x (x < 2^31)."""
+    r = jnp.sqrt(x.astype(jnp.float32)).astype(jnp.int32)
+    r = jnp.where((r + 1) * (r + 1) <= x, r + 1, r)
+    r = jnp.where(r * r > x, r - 1, r)
+    return r
+
+
+def ang2pix_ring(theta, phi, order: int):
+    """Vectorized RING ang2pix on device (healpix_utils ang2ring parity)."""
+    nside = 1 << order
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    z = jnp.cos(theta)
+    za = jnp.abs(z)
+    tt = jnp.mod(phi, 2.0 * jnp.pi) * (2.0 / jnp.pi)
+
+    temp1 = nside * (0.5 + tt)
+    temp2 = nside * z * 0.75
+    jp = jnp.floor(temp1 - temp2).astype(jnp.int32)
+    jm = jnp.floor(temp1 + temp2).astype(jnp.int32)
+    ir = nside + 1 + jp - jm
+    kshift = 1 - (ir & 1)
+    ipe = (jp + jm - nside + kshift + 1) >> 1
+    ipe = jnp.mod(ipe, 4 * nside)
+    pix_eq = ncap + (ir - 1) * 4 * nside + ipe
+
+    tp = tt - jnp.floor(tt)
+    tmp = nside * jnp.sqrt(jnp.maximum(3.0 * (1.0 - za), 0.0))
+    jp_c = jnp.floor(tp * tmp).astype(jnp.int32)
+    jm_c = jnp.floor((1.0 - tp) * tmp).astype(jnp.int32)
+    ir_c = jp_c + jm_c + 1
+    ip_c = jnp.floor(tt * ir_c).astype(jnp.int32)
+    ip_c = jnp.mod(ip_c, 4 * ir_c)
+    pix_cap = jnp.where(z > 0, 2 * ir_c * (ir_c - 1) + ip_c,
+                        npix - 2 * ir_c * (ir_c + 1) + ip_c)
+    return jnp.where(za <= 2.0 / 3.0, pix_eq, pix_cap).astype(jnp.int32)
+
+
+def vec2pix_ring(vec, order: int):
+    theta, phi = vec2ang(vec)
+    return ang2pix_ring(theta, phi, order)
+
+
+def vec2ang(vec):
+    r = jnp.linalg.norm(vec, axis=-1)
+    theta = jnp.arccos(jnp.clip(vec[..., 2] / r, -1.0, 1.0))
+    phi = jnp.arctan2(vec[..., 1], vec[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    return theta, phi
+
+
+def pix2vec_ring(pix, order: int, dtype=jnp.float32):
+    """RING pix -> unit vector, pole-stable (uses 1-|z| in the caps)."""
+    nside = 1 << order
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    pix = pix.astype(jnp.int32)
+
+    north = pix < ncap
+    south = pix >= npix - ncap
+
+    # north cap decode
+    iring_n = (1 + _isqrt_dev(1 + 2 * pix)) >> 1
+    iphi_n = pix + 1 - 2 * iring_n * (iring_n - 1)
+    # south cap decode
+    ip_s = npix - pix
+    iring_s = (1 + _isqrt_dev(2 * ip_s - 1)) >> 1
+    iphi_s = 4 * iring_s + 1 - (ip_s - 2 * iring_s * (iring_s - 1))
+    # equatorial decode
+    ip_e = pix - ncap
+    tmp = ip_e >> (order + 2)
+    iring_e = tmp + nside
+    iphi_e = ip_e - tmp * 4 * nside + 1
+    fodd = jnp.where((iring_e + nside) & 1 != 0, 1.0, 0.5).astype(dtype)
+
+    iring_cap = jnp.where(north, iring_n, iring_s)
+    iphi_cap = jnp.where(north, iphi_n, iphi_s)
+
+    # cap: 1 - |z| = iring^2/(3 nside^2) computed in the small quantity
+    one_minus_az = (iring_cap.astype(dtype) ** 2) * (1.0 / (3.0 * nside * nside))
+    z_cap = jnp.where(north, 1.0 - one_minus_az, one_minus_az - 1.0)
+    sth_cap = jnp.sqrt(one_minus_az * (2.0 - one_minus_az))
+    phi_cap = (iphi_cap.astype(dtype) - 0.5) * (jnp.pi / 2.0) / iring_cap.astype(dtype)
+
+    z_eq = (4.0 / 3.0) - 2.0 * iring_e.astype(dtype) / (3.0 * nside)
+    sth_eq = jnp.sqrt(jnp.maximum(1.0 - z_eq * z_eq, 0.0))
+    phi_eq = (iphi_e.astype(dtype) - fodd) * (jnp.pi / (2.0 * nside))
+
+    cap = north | south
+    z = jnp.where(cap, z_cap, z_eq)
+    sth = jnp.where(cap, sth_cap, sth_eq)
+    phi = jnp.where(cap, phi_cap, phi_eq)
+    return jnp.stack([sth * jnp.cos(phi), sth * jnp.sin(phi), z], axis=-1)
+
+
+class InterpTables:
+    """Device ring tables for get_interpol at a given order."""
+
+    def __init__(self, order: int, dtype=jnp.float32):
+        rt = hp.build_ring_table(order)
+        self.order = order
+        self.nside = rt.nside
+        self.npix = rt.npix
+        self.startpix = jnp.asarray(rt.startpix, dtype=jnp.int32)
+        self.ringpix = jnp.asarray(rt.ringpix, dtype=jnp.int32)
+        self.theta = jnp.asarray(rt.theta, dtype=dtype)
+        self.shifted = jnp.asarray(rt.shifted.astype(np.float64) * 0.5, dtype=dtype)
+
+
+def get_interpol(tab: InterpTables, theta, phi):
+    """Device 4-pixel bilinear weights (healpix_utils get_interpol parity).
+
+    Returns (pix [..., 4] int32 RING indices, wgt [..., 4]).
+    """
+    nside = tab.nside
+    z = jnp.cos(theta)
+    az = jnp.abs(z)
+    ir_cap = (nside * jnp.sqrt(jnp.maximum(3.0 * (1.0 - az), 0.0))).astype(jnp.int32)
+    ir_eq = (nside * (2.0 - 1.5 * z)).astype(jnp.int32)
+    ring_above = jnp.where(az <= 2.0 / 3.0, ir_eq,
+                           jnp.where(z > 0, ir_cap, 4 * nside - ir_cap - 1))
+    ir1 = ring_above
+    ir2 = ring_above + 1
+    nrings = 4 * nside - 1
+
+    def ring_interp(ir):
+        idx = jnp.clip(ir, 1, nrings) - 1
+        sp = tab.startpix[idx]
+        nr = tab.ringpix[idx]
+        shift = tab.shifted[idx]
+        dphi = 2.0 * jnp.pi / nr.astype(theta.dtype)
+        tmp = phi / dphi - shift
+        i1 = jnp.floor(tmp).astype(jnp.int32)
+        w = (phi - (i1.astype(theta.dtype) + shift) * dphi) / dphi
+        i2 = i1 + 1
+        i1 = jnp.where(i1 < 0, i1 + nr, i1)
+        i2 = jnp.where(i2 >= nr, i2 - nr, i2)
+        return sp + i1, sp + i2, w, tab.theta[idx]
+
+    p11, p12, w1, theta1 = ring_interp(ir1)
+    p21, p22, w2, theta2 = ring_interp(ir2)
+
+    north = ir1 == 0
+    south = ir2 == 4 * nside
+    generic = ~(north | south)
+
+    wt = (theta - theta1) / jnp.where(theta2 != theta1, theta2 - theta1, 1.0)
+    wg0 = (1.0 - wt) * (1.0 - w1)
+    wg1 = (1.0 - wt) * w1
+    wg2 = wt * (1.0 - w2)
+    wg3 = wt * w2
+
+    # north pole fold (reference get_interpol ir1==0 branch)
+    wtn = theta / theta2
+    facn = (1.0 - wtn) * 0.25
+    # south pole fold
+    wts = (theta - theta1) / (jnp.pi - theta1)
+    facs = wts * 0.25
+
+    w0 = jnp.where(north, facn, jnp.where(south, (1.0 - wts) * (1.0 - w1) + facs, wg0))
+    w1_ = jnp.where(north, facn, jnp.where(south, (1.0 - wts) * w1 + facs, wg1))
+    w2_ = jnp.where(north, wtn * (1.0 - w2) + facn, jnp.where(south, facs, wg2))
+    w3_ = jnp.where(north, wtn * w2 + facn, jnp.where(south, facs, wg3))
+
+    npix = tab.npix
+    p0 = jnp.where(north, (p21 + 2) % 4, p11)
+    p1 = jnp.where(north, (p22 + 2) % 4, p12)
+    p2 = jnp.where(south, ((p11 + 2) & 3) + npix - 4, p21)
+    p3 = jnp.where(south, ((p12 + 2) & 3) + npix - 4, p22)
+
+    pix = jnp.stack([p0, p1, p2, p3], axis=-1)
+    wgt = jnp.stack([w0, w1_, w2_, w3_], axis=-1)
+    return pix, wgt

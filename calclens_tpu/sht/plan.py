@@ -32,7 +32,7 @@ class SHTPlan:
     """
 
     def __init__(self, order, lmax=None, dtype=jnp.float32, ring_weights=None,
-                 ring_block=None, lblock=16):
+                 ring_block=None, lblock=16, window=None):
         self.order = int(order)
         self.nside = nside = 1 << self.order
         assert nside <= 8192, "CZT int32 phase arithmetic requires nside <= 8192"
@@ -49,6 +49,8 @@ class SHTPlan:
         self.lblock = int(lblock)
         if ring_block is None:
             ring_block = max(64, min(4096, (1 << 26) // self.L))
+        # never pad beyond one block over the true ring count
+        ring_block = min(ring_block, ((self.nrings + 63) // 64) * 64)
         # pad rings to a multiple of ring_block for lax.map chunking
         self.ring_block = int(ring_block)
         self.nrings_pad = ((self.nrings + ring_block - 1) // ring_block) * ring_block
@@ -124,6 +126,17 @@ class SHTPlan:
         # m index vector
         self.m_int = jnp.arange(self.nm, dtype=jnp.int32)
         self.m_f = jnp.arange(self.nm, dtype=dtype)
+
+        # optional l-space window b_l (pixel window / smoothing beam — the
+        # reference's plan.window_function, healpix_shtrans.h:30-45); None
+        # means no window is applied in the Poisson filter.
+        if window is not None:
+            wl = np.ones(self.nl, dtype=np.float64)
+            wa = np.asarray(window, dtype=np.float64)
+            wl[: min(self.nl, len(wa))] = wa[: self.nl]
+            self.window_dev = jnp.asarray(wl, dtype=dtype)
+        else:
+            self.window_dev = None
 
     def rings_to_map(self, X):
         """[..., nrings_pad, P] ring matrix -> [..., npix] RING-ordered map."""
