@@ -20,7 +20,7 @@ from .cosmology import Cosmology, RHO_CRIT, CSOL
 from .healpix import core as hp
 from .healpix import jaxhp
 from .io import lensplanes
-from .poisson import sht_poisson_solve
+from .poisson import PlaneScalars, empty_plane_step, plane_step
 from .rays import propagate as rp
 from .sht.plan import SHTPlan
 
@@ -82,7 +82,7 @@ class Raytracer:
     pixels in the multi-chip path.
     """
 
-    def __init__(self, cfg: RayTraceConfig, dtype=None):
+    def __init__(self, cfg: RayTraceConfig, dtype=None, mesh=None):
         self.cfg = cfg
         self.dtype = dtype or (jnp.float64 if cfg.Precision == "f64" else jnp.float32)
         self.cosmo = Cosmology(cfg.OmegaM)
@@ -90,12 +90,16 @@ class Raytracer:
         if cfg.SmoothingBeamFWHM > 0.0:
             lmax = 3 * (1 << cfg.poissonOrder) - 1
             window = gauss_beam(cfg.SmoothingBeamFWHM, lmax)
-        self.plan = SHTPlan(cfg.poissonOrder, dtype=self.dtype, window=window)
+        self.mesh = mesh
+        self.plan = SHTPlan(cfg.poissonOrder, dtype=self.dtype, window=window, mesh=mesh)
         self.tab = jaxhp.InterpTables(cfg.poissonOrder, dtype=self.dtype)
         self.rays = None
         self.ray_nest = None  # host int64 nest index per ray
         self.current_plane = 0
         self.timings = []
+        # particle arrays are padded to bucket multiples so the jitted plane
+        # step compiles once per bucket size, not once per plane
+        self.part_bucket = 4096
 
     # ------------------------------------------------------------------
     def active_ray_pixels(self):
@@ -121,29 +125,62 @@ class Raytracer:
         vec = hp.pix2vec_nest(self.ray_nest, cfg.rayOrder)
         binL = cfg.maxComvDistance / cfg.NumLensPlanes
         self.rays = rp.init_rays(vec, binL / 2.0, dtype=self.dtype)
+        if self.mesh is not None:
+            from .parallel.sharding import ShardingPlan
+
+            sp = ShardingPlan(self.mesh)
+            self.rays = jax.device_put(self.rays, sp.ray_sharding())
         self.current_plane = 0
+
+    def _pad_particles(self, pos, mass):
+        """Pad to the bucket size with zero-mass particles at a valid unit
+        vector (keeps compiled-shape count small and deposits nothing)."""
+        n = len(pos)
+        b = self.part_bucket
+        npad = max(b, ((n + b - 1) // b) * b)
+        pos_p = np.zeros((npad, 3))
+        pos_p[:, 0] = 1.0
+        mass_p = np.zeros((npad,))
+        if n:
+            pos_p[:n] = np.asarray(pos)
+            mass_p[:n] = np.asarray(mass)
+        out_pos = jnp.asarray(pos_p, self.dtype)
+        out_mass = jnp.asarray(mass_p, self.dtype)
+        if self.mesh is not None:
+            from .parallel.sharding import ShardingPlan
+
+            sp = ShardingPlan(self.mesh)
+            out_pos = jax.device_put(out_pos, sp.batch)
+            out_mass = jax.device_put(out_mass, sp.batch)
+        return out_pos, out_mass
 
     # ------------------------------------------------------------------
     def load_particles(self, plane_num: int):
         fn = lensplanes.plane_filename(self.cfg.LensPlanePath, self.cfg.LensPlaneName, plane_num)
         return lensplanes.read_plane(fn)
 
-    def step(self, plane_num: int, pos=None, mass=None):
+    def step(self, plane_num: int, pos=None, mass=None, with_maps: bool = False):
         """One plane: Poisson solve at planeRad then propagate to planeRadPlus1."""
         t0 = time.perf_counter()
         pp = plane_params(self.cfg, self.cosmo, plane_num)
         if pos is None:
             pos, mass = self.load_particles(plane_num)
-        rays = rp.zero_plane_fields(self.rays)
+        scal = PlaneScalars(
+            densfact=jnp.asarray(pp.densfact, self.dtype),
+            backdens=jnp.asarray(pp.backdens, self.dtype),
+            wp=jnp.asarray(pp.rad_plus1, self.dtype),
+            wpm1=jnp.asarray(pp.rad, self.dtype),
+            wpm2=jnp.asarray(pp.rad_minus1, self.dtype),
+        )
         maps = None
         if len(pos):
-            rays, maps = sht_poisson_solve(
-                self.plan, self.tab, rays,
-                jnp.asarray(pos, self.dtype), jnp.asarray(mass, self.dtype),
-                pp.densfact, pp.backdens, scheme=self.cfg.DepositScheme,
+            pos_d, mass_d = self._pad_particles(pos, mass)
+            rays, maps = plane_step(
+                self.plan, self.tab, self.rays, pos_d, mass_d,
+                self.cfg.DepositScheme, self.cfg.BornApprx, with_maps, scal,
             )
-        rays = rp.rayprop_sphere(rays, pp.rad_plus1, pp.rad, pp.rad_minus1,
-                                 born=self.cfg.BornApprx)
+        else:
+            rays = empty_plane_step(self.cfg.BornApprx, self.rays, scal)
         self.rays = jax.block_until_ready(rays)
         self.current_plane = plane_num + 1
         self.timings.append((plane_num, time.perf_counter() - t0))

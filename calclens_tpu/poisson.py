@@ -10,6 +10,7 @@ Pipeline per lens plane (SHTONLY + full-sky default path, SURVEY.md 3.2):
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -17,8 +18,20 @@ import jax.numpy as jnp
 from .healpix import jaxhp
 from .ops import deposit as dep
 from .ops.interp import FieldMaps, shear_interp, apply_lensing_fields
+from .rays import propagate as rp
 from .sht import transforms as T
 from .sht.plan import SHTPlan
+
+
+class PlaneScalars(NamedTuple):
+    """Per-plane scalars passed as device values so one compiled plane step
+    serves every plane (set_plane_params outputs, raytrace.c:384-500)."""
+
+    densfact: jnp.ndarray
+    backdens: jnp.ndarray
+    wp: jnp.ndarray      # next plane radius (propagation target)
+    wpm1: jnp.ndarray    # current plane radius
+    wpm2: jnp.ndarray    # previous plane radius
 
 
 @partial(jax.jit, static_argnums=0)
@@ -54,3 +67,32 @@ def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
     maps = solve_potential(plan, density)
     pot, grad, U = shear_interp(tab, maps, rays.n)
     return apply_lensing_fields(rays, pot, grad, U), maps
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6, 7))
+def plane_step(plan: SHTPlan, tab: jaxhp.InterpTables, rays, pos, mass,
+               scheme: str, born: bool, with_maps: bool,
+               scal: PlaneScalars, vacmask=None):
+    """One fully-fused lens-plane step: zero per-plane fields, deposit + SHT
+    Poisson solve + interpolate to rays, then propagate to the next plane.
+
+    Compiled once per (plan, particle-bucket-size); per-plane scalars are
+    device values.  This is the unit the driver calls per plane and the unit
+    the multi-chip mesh shards (rays/particles on the batch axis, the SHT
+    internally on rings/m via the plan's sharding constraints).
+    """
+    rays = rp.zero_plane_fields(rays)
+    rays, maps = sht_poisson_solve(
+        plan, tab, rays, pos, mass, scal.densfact, scal.backdens,
+        vacmask=vacmask, scheme=scheme,
+    )
+    rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)
+    return rays, (maps if with_maps else None)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def empty_plane_step(born: bool, rays, scal: PlaneScalars):
+    """Plane with no particles: zero fields and propagate only (the
+    reference's zero-particle NOBACKDENS skip, poissondrivers.c:82-157)."""
+    rays = rp.zero_plane_fields(rays)
+    return rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)

@@ -32,7 +32,7 @@ class SHTPlan:
     """
 
     def __init__(self, order, lmax=None, dtype=jnp.float32, ring_weights=None,
-                 ring_block=None, lblock=16, window=None):
+                 ring_block=None, lblock=16, window=None, mesh=None):
         self.order = int(order)
         self.nside = nside = 1 << self.order
         assert nside <= 8192, "CZT int32 phase arithmetic requires nside <= 8192"
@@ -137,6 +137,16 @@ class SHTPlan:
             self.window_dev = jnp.asarray(wl, dtype=dtype)
         else:
             self.window_dev = None
+
+        # optional device mesh: transforms add with_sharding_constraint at the
+        # ring-space / m-space boundaries so GSPMD inserts the ring<->m
+        # all-to-all (the reference's MPI transpose) over ICI
+        if mesh is not None:
+            from ..parallel.sharding import ShardingPlan
+
+            self.spec = ShardingPlan(mesh)
+        else:
+            self.spec = None
 
     def rings_to_map(self, X):
         """[..., nrings_pad, P] ring matrix -> [..., npix] RING-ordered map."""

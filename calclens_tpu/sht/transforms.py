@@ -42,6 +42,16 @@ _RESC = 2.0**-64
 _TINY = 2.0**-64
 
 
+def _cst(plan, x, spec_name):
+    """Sharding constraint when the plan carries a mesh (no-op otherwise).
+    These mark the ring-sharded / m-sharded regions; XLA inserts the
+    all-to-all transpose between them (reference map2alm_transpose_mpi.c:317)."""
+    if plan.spec is None:
+        return x
+    sp = getattr(plan.spec, spec_name)
+    return jax.lax.with_sharding_constraint(x, sp)
+
+
 # ----------------------------------------------------------------------------
 # ring-space stages
 # ----------------------------------------------------------------------------
@@ -198,6 +208,8 @@ def map2alm(plan: SHTPlan, m):
 def legendre_analysis(plan: SHTPlan, E, O):
     B = plan.lblock
     nlp = _nl_padded(plan)
+    E = _cst(plan, E, "m_rows")
+    O = _cst(plan, O, "m_rows")
 
     def block(state, b):
         rows = []
@@ -210,7 +222,7 @@ def legendre_analysis(plan: SHTPlan, E, O):
         return state, jnp.stack(rows, axis=0)
 
     _, alm = jax.lax.scan(block, _init_state(plan), jnp.arange(nlp // B, dtype=jnp.int32))
-    return alm.reshape(nlp, plan.nm)[: plan.nl]
+    return _cst(plan, alm.reshape(nlp, plan.nm)[: plan.nl], "alm")
 
 
 # ----------------------------------------------------------------------------
@@ -226,6 +238,7 @@ def legendre_synthesis(plan: SHTPlan, alm, derivs: bool):
     """
     B = plan.lblock
     nlp = _nl_padded(plan)
+    alm = _cst(plan, alm, "alm")
     pad = jnp.zeros((nlp - plan.nl, plan.nm), dtype=alm.dtype)
     xs = jnp.concatenate([alm, pad], axis=0).reshape(nlp // B, B, plan.nm)
     bidx = jnp.arange(nlp // B, dtype=jnp.int32)
@@ -278,7 +291,16 @@ def legendre_synthesis(plan: SHTPlan, alm, derivs: bool):
         qS.append(-(acc[2] - acc[3]))
         qN.append(acc[4] + acc[5])
         qS.append(acc[4] - acc[5])
-    return jnp.stack(qN), jnp.stack(qS)
+    qN = jnp.stack(qN)
+    qS = jnp.stack(qS)
+    if plan.spec is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.sharding import AXIS
+
+        sp = NamedSharding(plan.spec.mesh, P(None, AXIS, None))
+        qN = jax.lax.with_sharding_constraint(qN, sp)
+        qS = jax.lax.with_sharding_constraint(qS, sp)
+    return qN, qS
 
 
 def alm2map(plan: SHTPlan, alm):
