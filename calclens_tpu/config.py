@@ -129,6 +129,8 @@ class RayTraceConfig:
             v = getattr(self, f.name)
             if isinstance(v, bool):
                 v = int(v)
+            if v == "":  # empty strings are unrepresentable in tag-value form
+                continue
             lines.append(f"{f.name} {v}")
         return "\n".join(lines) + "\n"
 

@@ -96,6 +96,7 @@ class Raytracer:
         self.rays = None
         self.ray_nest = None  # host int64 nest index per ray
         self.current_plane = 0
+        self.map_num = 0
         self.timings = []
         # particle arrays are padded to bucket multiples so the jitted plane
         # step compiles once per bucket size, not once per plane
@@ -186,17 +187,108 @@ class Raytracer:
         self.timings.append((plane_num, time.perf_counter() - t0))
         return maps
 
-    def run(self, progress=True):
+    # ------------------------------------------------------------------
+    def restart_path(self):
+        return f"{self.cfg.OutputPath or '.'}/restart.npz"
+
+    def save_restart(self, path=None):
+        from . import restart as rst
+
+        rst.write_restart(path or self.restart_path(), self.cfg, self.rays,
+                          self.ray_nest, self.current_plane, self.map_num)
+
+    def load_restart(self, path=None):
+        from . import restart as rst
+
+        self.rays, self.ray_nest, self.current_plane, self.map_num = (
+            rst.read_restart(path or self.restart_path(), self.cfg, self.dtype))
+
+    # ------------------------------------------------------------------
+    def _map_planes(self):
+        """plane number -> map index for MapRedshiftList planes."""
+        from . import maps as lm
+
+        cfg = self.cfg
+        if not cfg.MapRedshiftList:
+            return {}
+        zs = lm.read_map_redshifts(cfg.MapRedshiftList)
+        nums = lm.map_plane_nums(zs, cfg.OmegaM, cfg.maxComvDistance,
+                                 cfg.NumLensPlanes)
+        return {int(p): i for i, p in enumerate(nums)}
+
+    def _write_map_outputs(self):
+        from . import maps as lm
+
+        accum = lm.LensMapAccum.zeros(lm.DRIVER_MAP_ORDER)
+        accum = lm.update_lens_map(accum, self.rays, jnp.asarray(self.ray_nest),
+                                   self.cfg.rayOrder, lm.DRIVER_MAP_ORDER)
+        return lm.write_map_outputs(accum, lm.DRIVER_MAP_ORDER,
+                                    self.cfg.OutputPath or ".", self.map_num)
+
+    def run(self, progress=True, start_time=None):
+        """Full trace loop with map outputs and walltime-pressure restarts
+        (reference raytrace.c:131-371)."""
+        from .io import rayio
+
+        cfg = self.cfg
         if self.rays is None:
             self.init_rays()
-        for p in range(self.current_plane, self.cfg.NumLensPlanes):
+        if not hasattr(self, "map_num"):
+            self.map_num = 0
+        map_planes = self._map_planes()
+        t_start = start_time if start_time is not None else time.perf_counter()
+        t_last_restart = t_start
+        for p in range(self.current_plane, cfg.NumLensPlanes):
             self.step(p)
             if progress:
                 pp = plane_params(self.cfg, self.cosmo, p)
                 print(
-                    f"plane {p:4d}/{self.cfg.NumLensPlanes} "
+                    f"plane {p:4d}/{cfg.NumLensPlanes} "
                     f"[dist={pp.rad:.2f} Mpc/h, z={pp.zlens:.2f}] "
                     f"{self.timings[-1][1]:.3f}s",
                     file=sys.stderr,
                 )
+            if p in map_planes and cfg.OutputPath:
+                if cfg.MaxResMap and cfg.RayOutputName:
+                    rayio.write_rays(cfg, self.rays, self.ray_nest, self.map_num)
+                self._write_map_outputs()
+                self.map_num += 1
+            now = time.perf_counter()
+            step_t = self.timings[-1][1]
+            if cfg.OutputPath and (
+                now - t_last_restart > cfg.WallTimeBetweenRestart
+            ):
+                self.save_restart()
+                t_last_restart = now
+            if now - t_start > cfg.WallTimeLimit - 5.0 * step_t:
+                # graceful preemption (raytrace.c:143-149)
+                if cfg.OutputPath:
+                    self.save_restart()
+                return self.rays
+        if cfg.OutputPath and cfg.RayOutputName:
+            rayio.write_rays(cfg, self.rays, self.ray_nest, self.map_num)
+        if cfg.OutputPath:
+            self.save_restart()
         return self.rays
+
+    # ------------------------------------------------------------------
+    def propagate_to_cmb(self, z_cmb=1100.0, map_order=None):
+        """Propagate current rays to chi(z_cmb) and return the convergence
+        accumulator (reference propagate_to_cmb_from_restart.c:184-492)."""
+        from . import maps as lm
+
+        cfg = self.cfg
+        map_order = map_order or lm.CMB_MAP_ORDER
+        w_cmb = float(lm.comoving_distance_2f1(z_cmb, cfg.OmegaM))
+        binL = cfg.maxComvDistance / cfg.NumLensPlanes
+        wpm1 = cfg.maxComvDistance
+        wpm2 = wpm1 - binL
+        rays = rp.zero_plane_fields(self.rays)
+        rays = rp.rayprop_sphere(rays, jnp.asarray(w_cmb, self.dtype),
+                                 jnp.asarray(wpm1, self.dtype),
+                                 jnp.asarray(wpm2, self.dtype),
+                                 born=cfg.BornApprx)
+        self.rays = jax.block_until_ready(rays)
+        accum = lm.LensMapAccum.zeros(map_order)
+        return lm.update_lens_map(accum, self.rays, jnp.asarray(self.ray_nest),
+                                  cfg.rayOrder, map_order)

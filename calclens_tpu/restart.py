@@ -1,0 +1,64 @@
+"""Checkpoint / resume (reference restart.c).
+
+The reference writes per-task raw binaries holding the full ray state plus
+domain-decomposition metadata, and refuses to resume under a different task
+count or compile configuration (restart.c:66-124).  Here the ray pytree is a
+single global array family, so one .npz holds everything; compatibility
+checks validate the config fields that change the physics or the layout.
+Cadence control (WallTimeBetweenRestart / WallTimeLimit pressure,
+raytrace.c:136-173) lives in the driver loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+_COMPAT_FIELDS = (
+    "OmegaM", "maxComvDistance", "NumLensPlanes", "rayOrder", "bundleOrder",
+    "SHTOrder", "minRa", "maxRa", "minDec", "maxDec",
+)
+
+
+def write_restart(path, cfg, rays, ray_nest, current_plane, map_num=0):
+    """Atomic write: .tmp then rename; previous file moved to .bak
+    (restart.c:38-53)."""
+    tmp = path + ".tmp"
+    np.savez(
+        tmp if tmp.endswith(".npz") else tmp,
+        n=np.asarray(rays.n), beta=np.asarray(rays.beta),
+        A=np.asarray(rays.A), Aprev=np.asarray(rays.Aprev),
+        alpha=np.asarray(rays.alpha), U=np.asarray(rays.U),
+        phi=np.asarray(rays.phi),
+        ray_nest=np.asarray(ray_nest),
+        current_plane=np.int64(current_plane),
+        map_num=np.int64(map_num),
+        compat=np.array([float(getattr(cfg, f)) for f in _COMPAT_FIELDS]),
+    )
+    saved = tmp + ".npz" if not tmp.endswith(".npz") else tmp
+    if os.path.exists(path):
+        os.replace(path, path + ".bak")
+    os.replace(saved, path)
+
+
+def read_restart(path, cfg, dtype=jnp.float32):
+    """Returns (rays, ray_nest, current_plane, map_num); raises on config
+    mismatch (the reference MPI_Aborts, restart.c:66-124)."""
+    from .rays.propagate import Rays
+
+    with np.load(path) as z:
+        compat = z["compat"]
+        want = np.array([float(getattr(cfg, f)) for f in _COMPAT_FIELDS])
+        bad = np.flatnonzero(~np.isclose(compat, want))
+        if len(bad):
+            names = [_COMPAT_FIELDS[i] for i in bad]
+            raise ValueError(f"restart incompatible with config: {names}")
+        rays = Rays(
+            n=jnp.asarray(z["n"], dtype), beta=jnp.asarray(z["beta"], dtype),
+            A=jnp.asarray(z["A"], dtype), Aprev=jnp.asarray(z["Aprev"], dtype),
+            alpha=jnp.asarray(z["alpha"], dtype), U=jnp.asarray(z["U"], dtype),
+            phi=jnp.asarray(z["phi"], dtype),
+        )
+        return rays, z["ray_nest"].copy(), int(z["current_plane"]), int(z["map_num"])

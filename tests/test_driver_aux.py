@@ -1,0 +1,133 @@
+"""Lens maps, restart/resume, CMB propagation, CLI (reference maputils.c,
+restart.c, propagate_to_cmb_from_restart.c, main.c)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from calclens_tpu import maps as lm
+from calclens_tpu import restart as rst
+from calclens_tpu.config import RayTraceConfig
+from calclens_tpu.driver import Raytracer
+from calclens_tpu.healpix import core as hp
+from calclens_tpu.io import fits
+from calclens_tpu.rays.propagate import init_rays
+from calclens_tpu.testing import pointmass as pm
+
+
+def test_comoving_distance_2f1_matches_quadrature():
+    from calclens_tpu.cosmology import Cosmology
+
+    cosmo = Cosmology(0.3)
+    for z in (0.1, 0.5, 1.0, 2.0):
+        ref = cosmo.comvdist(1.0 / (1.0 + z))
+        got = float(lm.comoving_distance_2f1(z, 0.3))
+        assert abs(got - ref) / ref < 1e-6, (z, got, ref)
+
+
+def test_map_plane_nums():
+    nums = lm.map_plane_nums([0.2, 0.5], 0.3, 4000.0, 100)
+    # chi(0.2) ~ 571, chi(0.5) ~ 1322 Mpc/h; binL = 40
+    assert nums[0] == round(float(lm.comoving_distance_2f1(0.2, 0.3)) / 40.0)
+    assert nums[1] > nums[0]
+
+
+def test_update_lens_map_and_fits(tmp_path):
+    order, map_order = 4, 2
+    npix = int(hp.order2npix(order))
+    nest = np.arange(npix, dtype=np.int64)
+    vec = hp.pix2vec_nest(nest, order)
+    rays = init_rays(vec, 100.0, dtype=jnp.float64)
+    accum = lm.LensMapAccum.zeros(map_order)
+    accum = lm.update_lens_map(accum, rays, jnp.asarray(nest), order, map_order)
+    cnt = np.asarray(accum.count)
+    assert np.all(cnt == 4 ** (order - map_order))
+    # A = I everywhere -> kappa = 0, A00 mean = 1
+    conv = lm.convergence_from_accum(accum)
+    np.testing.assert_allclose(conv, 0.0, atol=1e-12)
+
+    cpath, rpath = lm.write_map_outputs(accum, map_order, str(tmp_path), 0)
+    hdus = fits.read_fits(rpath)
+    hdr, rec = hdus[1]
+    assert hdr["NSIDE"] == 1 << map_order
+    assert str(hdr["ORDERING"]).startswith("NESTED")
+    np.testing.assert_allclose(rec["A00"], 1.0)
+    np.testing.assert_array_equal(rec["N_RAYS"], cnt)
+    hdus_c = fits.read_fits(cpath)
+    np.testing.assert_allclose(hdus_c[1][1]["SIGNAL"], 0.0, atol=1e-7)
+
+
+def _small_cfg(tmp, **kw):
+    base = dict(
+        OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+        LensPlanePath=str(tmp), LensPlaneName="pmplane",
+        SHTOrder=5, rayOrder=4, bundleOrder=2,
+        partMass=5.0e16, raPointMass=32.0, decPointMass=14.0,
+        radPointMass=625.0, PointMassTest=True, Precision="f64",
+        OutputPath=str(tmp / "out"),
+    )
+    base.update(kw)
+    return RayTraceConfig(**base).finalize()
+
+
+def test_restart_roundtrip_and_resume(tmp_path):
+    cfg = _small_cfg(tmp_path)
+    pm.make_pointmass_planes(cfg, snap_to_pixel_order=cfg.SHTOrder)
+    os.makedirs(cfg.OutputPath, exist_ok=True)
+
+    rt = Raytracer(cfg)
+    rt.init_rays()
+    for p in range(4):
+        rt.step(p)
+    rt.save_restart()
+
+    rt2 = Raytracer(cfg)
+    rt2.load_restart()
+    assert rt2.current_plane == 4
+    np.testing.assert_array_equal(rt2.ray_nest, rt.ray_nest)
+    for p in range(4, cfg.NumLensPlanes):
+        rt.step(p)
+        rt2.step(p)
+    np.testing.assert_allclose(np.asarray(rt2.A if hasattr(rt2, 'A') else rt2.rays.A),
+                               np.asarray(rt.rays.A), rtol=1e-12)
+
+    # incompatible config refuses to resume
+    cfg_bad = _small_cfg(tmp_path, rayOrder=5)
+    rt3 = Raytracer(cfg_bad)
+    with pytest.raises(ValueError):
+        rt3.load_restart(os.path.join(cfg.OutputPath, "restart.npz"))
+
+
+def test_full_run_with_outputs_and_cmb(tmp_path):
+    zfile = tmp_path / "zmaps.txt"
+    # a redshift whose plane lands inside the run
+    zfile.write_text("0.35\n")
+    cfg = _small_cfg(tmp_path, MapRedshiftList=str(zfile),
+                     RayOutputName="ray_", OutputRayDeflections=True)
+    pm.make_pointmass_planes(cfg, snap_to_pixel_order=cfg.SHTOrder)
+    rt = Raytracer(cfg)
+    rt.run(progress=False)
+    out = os.listdir(cfg.OutputPath)
+    assert any(f.startswith("Convergence_") for f in out)
+    assert any(f.startswith("Rays_") for f in out)
+    assert any(f.startswith("ray_") for f in out)
+    assert "restart.npz" in out
+
+    # CMB propagation from the final state
+    accum = rt.propagate_to_cmb(map_order=3)
+    assert int(np.asarray(accum.count).sum()) == len(rt.ray_nest)
+    r = np.linalg.norm(np.asarray(rt.rays.n), axis=1)
+    w_cmb = float(lm.comoving_distance_2f1(1100.0, cfg.OmegaM))
+    np.testing.assert_allclose(r, w_cmb, rtol=1e-10)
+
+
+def test_cli_main(tmp_path):
+    cfg = _small_cfg(tmp_path, RayOutputName="ray_")
+    pm.make_pointmass_planes(cfg, snap_to_pixel_order=cfg.SHTOrder)
+    cfgfile = tmp_path / "run.cfg"
+    cfgfile.write_text(cfg.to_cfg())
+    from calclens_tpu.raytrace import main
+
+    assert main([str(cfgfile)]) == 0
+    assert os.path.exists(os.path.join(cfg.OutputPath, "restart.npz"))

@@ -1,0 +1,127 @@
+"""FITS writer/reader and ray-output layout tests (reference rayio.c)."""
+import numpy as np
+import jax.numpy as jnp
+
+from calclens_tpu.config import RayTraceConfig
+from calclens_tpu.healpix import core as hp
+from calclens_tpu.io import fits, rayio
+from calclens_tpu.rays import frames
+from calclens_tpu.rays.propagate import Rays, init_rays
+
+
+def test_fits_image_bintable_roundtrip(tmp_path):
+    img = np.arange(24, dtype=np.int64)
+    rec = np.zeros(5, dtype=np.dtype([("nest", "<i8"), ("ra", "<f8"), ("w", "<f4")]))
+    rec["nest"] = np.arange(5)
+    rec["ra"] = np.linspace(0, 359, 5)
+    rec["w"] = 2.5
+    fn = str(tmp_path / "t.fits")
+    fits.write_fits(fn, [
+        fits.image_hdu(img, header={"NumFiles": (3, "files")}),
+        fits.bintable_hdu(rec, name="Rays"),
+    ])
+    hdus = fits.read_fits(fn)
+    assert len(hdus) == 2
+    hdr0, data0 = hdus[0]
+    assert hdr0["SIMPLE"] is True
+    assert hdr0["NumFiles"] == 3
+    np.testing.assert_array_equal(data0, img)
+    hdr1, data1 = hdus[1]
+    assert hdr1["XTENSION"].startswith("BINTABLE")
+    np.testing.assert_array_equal(data1["nest"], rec["nest"])
+    np.testing.assert_allclose(data1["ra"], rec["ra"])
+    np.testing.assert_allclose(data1["w"], rec["w"])
+
+
+def test_fits_block_alignment(tmp_path):
+    fn = str(tmp_path / "t.fits")
+    fits.write_fits(fn, [fits.image_hdu(np.zeros(1, np.int64))])
+    import os
+    assert os.path.getsize(fn) % 2880 == 0
+
+
+def _make_rays(order, dtype=jnp.float64, seed=3):
+    npix = int(hp.order2npix(order))
+    nest = np.arange(npix, dtype=np.int64)
+    vec = hp.pix2vec_nest(nest, order)
+    rays = init_rays(vec, 100.0, dtype=dtype)
+    rng = np.random.default_rng(seed)
+    A = np.eye(2) + 0.01 * rng.normal(size=(npix, 2, 2))
+    alpha = 1e-3 * rng.normal(size=(npix, 2))
+    # displace positions slightly off the pixel centers
+    n2 = np.asarray(rays.n) + 0.1 * rng.normal(size=(npix, 3))
+    n2 = n2 / np.linalg.norm(n2, axis=1, keepdims=True) * 100.0
+    return rays._replace(
+        A=jnp.asarray(A, dtype), alpha=jnp.asarray(alpha, dtype),
+        n=jnp.asarray(n2, dtype),
+    ), nest
+
+
+def test_frame_transforms_invert():
+    rays, nest = _make_rays(2)
+    obs = jnp.asarray(hp.pix2vec_nest(nest, 2), rays.n.dtype)
+    r1 = frames.rot_rays_radec2ang(
+        frames.rot_rays_ang2radec(rays))
+    np.testing.assert_allclose(np.asarray(r1.alpha), np.asarray(rays.alpha), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(r1.A), np.asarray(rays.A), atol=1e-14)
+    r2 = frames.paratrans_rays_obs2curr(
+        frames.paratrans_rays_curr2obs(rays, obs), obs)
+    np.testing.assert_allclose(np.asarray(r2.A), np.asarray(rays.A), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r2.Aprev), np.asarray(rays.Aprev), atol=1e-12)
+
+
+def test_write_read_rays_layout(tmp_path):
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=1000.0, NumLensPlanes=4,
+        rayOrder=4, bundleOrder=2, SHTOrder=4,
+        OutputPath=str(tmp_path), RayOutputName="ray_",
+        NumRayOutputFiles=3, OutputRayDeflections=True, OutputPhi=True,
+    ).finalize()
+    rays, nest = _make_rays(cfg.rayOrder)
+    paths = rayio.write_rays(cfg, rays, nest)
+    assert len(paths) == 3
+
+    nbc = int(hp.order2npix(cfg.bundleOrder))
+    rays_per_cell = 4 ** (cfg.rayOrder - cfg.bundleOrder)
+    total = 0
+    seen_cells = 0
+    for p in paths:
+        hdr, num, start, rows = rayio.read_rays(p)
+        assert hdr["NumFiles"] == 3
+        assert hdr["PeanoCellHEALPixOrder"] == cfg.bundleOrder
+        assert hdr["RayHEALPixOrder"] == cfg.rayOrder
+        assert len(num) == nbc
+        # every nonzero cell holds the full complement of rays
+        nz = num[num > 0]
+        assert np.all(nz == rays_per_cell)
+        seen_cells += len(nz)
+        # rows grouped per cell: the layout start indices address the table
+        for c in np.flatnonzero(num):
+            sl = rows[start[c]: start[c] + num[c]]
+            pe = hp.nest2peano(sl["nest"] >> (2 * (cfg.rayOrder - cfg.bundleOrder)),
+                               cfg.bundleOrder)
+            assert np.all(pe == c)
+            # nest-ordered within the cell
+            assert np.all(np.diff(sl["nest"]) > 0)
+        total += len(rows)
+    assert seen_cells == nbc
+    assert total == int(hp.order2npix(cfg.rayOrder))
+
+
+def test_written_A_is_observer_frame(tmp_path):
+    """At pixel centers with A=I, observer-frame A stays I in any basis."""
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=1000.0, NumLensPlanes=4,
+        rayOrder=3, bundleOrder=1, SHTOrder=4,
+        OutputPath=str(tmp_path), RayOutputName="ray_",
+    ).finalize()
+    npix = int(hp.order2npix(cfg.rayOrder))
+    nest = np.arange(npix, dtype=np.int64)
+    vec = hp.pix2vec_nest(nest, cfg.rayOrder)
+    rays = init_rays(vec, 500.0, dtype=jnp.float64)
+    paths = rayio.write_rays(cfg, rays, nest)
+    _, num, start, rows = rayio.read_rays(paths[0])
+    np.testing.assert_allclose(rows["A00"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(rows["A11"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(rows["A01"], 0.0, atol=1e-12)
+    np.testing.assert_allclose(rows["A10"], 0.0, atol=1e-12)
