@@ -236,9 +236,30 @@ class Raytracer:
         if not hasattr(self, "map_num"):
             self.map_num = 0
         map_planes = self._map_planes()
+        gal_pos = gal_idx = gs_tables = None
+        if cfg.GalsFileList:
+            from .gals import gridsearch as gs
+            from .gals import io as galsio
+
+            gal_pos, gal_idx = galsio.read_source_gals(cfg.GalsFileList)
+            gs_tables = gs.GridSearchTables(cfg.rayOrder)
         t_start = start_time if start_time is not None else time.perf_counter()
         t_last_restart = t_start
+        binL = cfg.maxComvDistance / cfg.NumLensPlanes
         for p in range(self.current_plane, cfg.NumLensPlanes):
+            if gal_pos is not None and len(gal_pos):
+                from .gals import gridsearch as gs
+                from .gals import io as galsio
+
+                ppos, pidx = gs.select_plane_gals(
+                    gal_pos, gal_idx, p, binL, cfg.NumLensPlanes,
+                    cfg.maxComvDistance)
+                if len(ppos):
+                    pp = plane_params(cfg, self.cosmo, p)
+                    images = gs.find_images(cfg, gs_tables, self.rays, ppos,
+                                            pidx, pp.rad, pp.rad_minus1)
+                    if cfg.GalOutputName:
+                        galsio.write_image_gals(cfg, images, p)
             self.step(p)
             if progress:
                 pp = plane_params(self.cfg, self.cosmo, p)

@@ -1,0 +1,278 @@
+"""Galaxy image grid search (reference gridsearch.c, TPU formulation).
+
+Finds lensed images of source galaxies: a galaxy at comoving position g with
+radius in the current plane's radial bin is imaged wherever the deformed ray
+grid (rays propagated, deflection-free, to the galaxy radius) has a triangle
+containing g.  The reference cone-searches a HEALPix tree and walks pixel
+triangles per galaxy; here rays live on the full regular grid, so candidates
+are pure index arithmetic — the galaxy's coarse cell plus its 8 neighbors —
+and every (galaxy, triangle) test runs batched on device:
+
+  1. candidate ray pixels  = children of the 3x3 coarse-cell neighborhood,
+  2. triangles             = the precomputed grid triangulation
+                             (healpix.core.build_triangles, the reference's
+                             ring2triangle table),
+  3. per vertex: 2-term A interpolation + geodesic chord to galRad + parallel
+     transport (rayprop_gridsearch, gridsearch.c:1120-1200),
+  4. gnomonic projection into the galaxy tangent plane, barycentric test
+     (tritest_getbarycoords, gridsearch.c:1201-1230),
+  5. image position from barycentric-weighted ray STARTING positions,
+  6. A at the image: 4-pixel bilinear with double parallel transport
+     (interp_invmagmat_to_point, gridsearch.c:209-298), emitted in the
+     ra-dec basis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..healpix import core as hp
+from ..healpix import jaxhp
+from ..rays.paratrans import paratrans_tangtensor
+
+
+class ImageGals(NamedTuple):
+    """Found images (host arrays)."""
+
+    index: np.ndarray  # source catalog index
+    ra: np.ndarray
+    dec: np.ndarray
+    A: np.ndarray      # [N, 2, 2] in the ra-dec basis
+
+
+class GridSearchTables:
+    """Per-rayOrder host tables reused across planes."""
+
+    def __init__(self, ray_order: int, expand: int = 2):
+        self.ray_order = ray_order
+        self.expand = min(expand, ray_order)
+        self.coarse_order = ray_order - self.expand
+        tri_ring = hp.build_triangles(ray_order)          # [npix, 4, 3] ring
+        npix = int(hp.order2npix(ray_order))
+        ring_of = np.arange(npix, dtype=np.int64)
+        self.nest_of_ring = hp.ring2nest(ring_of, ray_order)
+        mask = tri_ring >= 0
+        tri_nest = np.where(mask, self.nest_of_ring[np.clip(tri_ring, 0, npix - 1)], -1)
+        self.tri_nest = tri_nest                          # [npix(ring), 4, 3]
+        self.ring_of_nest = hp.nest2ring(ring_of, ray_order)
+
+
+def _gal_candidates(tables: GridSearchTables, gvec):
+    """Host: candidate base pixels (RING indices) per galaxy [G, C]."""
+    oc = tables.coarse_order
+    k = tables.expand
+    theta, phi = hp.vec2ang(gvec)
+    cnest = hp.ang2pix_nest(theta, phi, oc)
+    nb = hp.neighbors_nest(cnest, oc)                      # [G, 8]
+    cells = np.concatenate([cnest[:, None], nb], axis=1)   # [G, 9]
+    cells = np.where(cells < 0, cnest[:, None], cells)     # pad missing with self
+    children = (cells[:, :, None] << (2 * k)) + np.arange(4 ** k, dtype=np.int64)
+    nest = children.reshape(len(gvec), -1)                 # [G, 9*4^k]
+    return tables.ring_of_nest[nest]                       # ring indices
+
+
+def _rayprop_gs(n, beta, A, Aprev, wp, wpm1, wpm2):
+    """Vectorized rayprop_gridsearch: 2-term A shift, smaller-|lambda| chord,
+    parallel transport of A to the new position.  wp broadcasts."""
+    f = wpm1 * (wp - wpm2) / (wp * (wpm1 - wpm2))
+    Ap = (1.0 - f)[..., None, None] * Aprev + f[..., None, None] * A
+    qb = 2.0 * jnp.sum(n * beta, axis=-1)
+    qc = wpm1 * wpm1 - wp * wp
+    disc = jnp.sqrt(jnp.maximum(qb * qb - 4.0 * qc, 0.0))
+    q = -0.5 * (qb + jnp.sign(qb) * disc)
+    lam1 = qc / jnp.where(q != 0.0, q, 1.0)
+    lam = jnp.where(jnp.abs(lam1) > jnp.abs(q), q, lam1)
+    np_ = n + beta * lam[..., None]
+    Ap = paratrans_tangtensor(Ap, n, np_)
+    return np_, Ap
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _search_chunk(nkern: int, verts, vmask, gvec, grad, tvec, pvec, vert_cvec,
+                  n_all, beta_all, A_all, Aprev_all, wpm1, wpm2):
+    """Device: barycentric hit test for every (gal, triangle).
+
+    verts [G, T, 3] ray indices; vert_cvec [G, T, 3, 3] vertex pixel-center
+    unit vectors; returns hit mask [G, T], barycoords*cosang [G, T, 3],
+    image tangent coords [G, T, 2].
+    """
+    del nkern
+    n = n_all[verts]          # [G, T, 3, 3]
+    beta = beta_all[verts]
+    A = A_all[verts]
+    Aprev = Aprev_all[verts]
+    wp = grad[:, None, None]
+    npos, _ = _rayprop_gs(n, beta, A, Aprev, wp, wpm1, wpm2)
+
+    ghat = gvec[:, None, None, :]
+    cosang = jnp.sum(npos * ghat, axis=-1) / wp            # [G, T, 3]
+    x = jnp.sum(npos * tvec[:, None, None, :], axis=-1) / wp / cosang
+    y = jnp.sum(npos * pvec[:, None, None, :], axis=-1) / wp / cosang
+
+    # barycentric coords of the origin (the galaxy) in triangle (v0, v1, v2)
+    ax, ay = x[..., 0] - x[..., 2], y[..., 0] - y[..., 2]
+    bx, by = x[..., 1] - x[..., 2], y[..., 1] - y[..., 2]
+    qx, qy = -x[..., 2], -y[..., 2]
+    den = ax * by - bx * ay
+    safe = jnp.where(jnp.abs(den) > 0, den, 1.0)
+    b0 = (qx * by - bx * qy) / safe
+    b1 = (ax * qy - qx * ay) / safe
+    b2 = 1.0 - b0 - b1
+    bcs = jnp.stack([b0, b1, b2], axis=-1)
+    hit = (jnp.abs(den) > 0) & jnp.all(bcs >= 0.0, axis=-1) \
+        & jnp.all(bcs <= 1.0, axis=-1) & vmask
+
+    # image position: barycentric-weighted STARTING positions (gnomonic
+    # weights bcs * cosang, gridsearch.c:753-770)
+    w = bcs * cosang
+    sx = jnp.sum(vert_cvec * tvec[:, None, None, :], axis=-1)
+    sy = jnp.sum(vert_cvec * pvec[:, None, None, :], axis=-1)
+    ix = jnp.sum(sx * w, axis=-1)
+    iy = jnp.sum(sy * w, axis=-1)
+    return hit, ix, iy
+
+
+@jax.jit
+def _interp_A_at(ivec, grad, wpm1, wpm2, pix4, wgt4, cvec4,
+                 n_all, beta_all, A_all, Aprev_all):
+    """interp_invmagmat_to_point: 4-ray bilinear A at image positions.
+
+    ivec [N, 3] (unnormalized ok for transport), pix4/wgt4 [N, 4] ray indices
+    + weights, cvec4 [N, 4, 3] pixel centers.
+    """
+    n = n_all[pix4]
+    beta = beta_all[pix4]
+    A = A_all[pix4]
+    Aprev = Aprev_all[pix4]
+    wp = grad[:, None]
+    npos, Ap = _rayprop_gs(n, beta, A, Aprev, wp, wpm1, wpm2)
+    Ac = paratrans_tangtensor(Ap, npos, cvec4)
+    iv = ivec / jnp.linalg.norm(ivec, axis=-1, keepdims=True)
+    Ai = paratrans_tangtensor(Ac, cvec4, iv[:, None, :])
+    return jnp.sum(Ai * wgt4[..., None, None], axis=1)
+
+
+def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
+                wpm1, wpm2, chunk=1024):
+    """All lensed images of the given source galaxies (host orchestration,
+    device math).  gal_pos [G, 3] comoving; returns ImageGals."""
+    dtype = rays.n.dtype
+    G = len(gal_pos)
+    if G == 0:
+        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                         np.zeros((0, 2, 2)))
+
+    gal_pos = np.asarray(gal_pos, np.float64)
+    grad_all = np.linalg.norm(gal_pos, axis=1)
+    gvec_all = gal_pos / grad_all[:, None]
+
+    out_idx, out_ra, out_dec, out_A = [], [], [], []
+    wpm1j = jnp.asarray(wpm1, dtype)
+    wpm2j = jnp.asarray(wpm2, dtype)
+
+    for i0 in range(0, G, chunk):
+        gvec = gvec_all[i0: i0 + chunk]
+        grad = grad_all[i0: i0 + chunk]
+        gidx = np.asarray(gal_index)[i0: i0 + chunk]
+        Gc = len(gvec)
+
+        cand_ring = _gal_candidates(tables, gvec)          # [Gc, C]
+        tri = tables.tri_nest[cand_ring]                   # [Gc, C, 4, 3] nest
+        tri = tri.reshape(Gc, -1, 3)                       # [Gc, T, 3]
+        vmask_h = tri[:, :, 0] >= 0
+        verts_h = np.where(tri >= 0, tri, 0)
+        vert_cvec_h = hp.pix2vec_nest(verts_h.reshape(-1), cfg.rayOrder
+                                      ).reshape(Gc, -1, 3, 3)
+
+        # rays are nest-indexed [npix]; vertex index == nest index
+        hit, ix, iy = _search_chunk(
+            0,
+            jnp.asarray(verts_h), jnp.asarray(vmask_h),
+            jnp.asarray(gvec, dtype), jnp.asarray(grad, dtype),
+            jnp.asarray(_tvec(gvec), dtype), jnp.asarray(_pvec(gvec), dtype),
+            jnp.asarray(vert_cvec_h, dtype),
+            rays.n, rays.beta, rays.A, rays.Aprev, wpm1j, wpm2j,
+        )
+        hit = np.asarray(hit)
+        gi, ti = np.nonzero(hit)
+        if len(gi) == 0:
+            continue
+        ixh = np.asarray(ix)[gi, ti]
+        iyh = np.asarray(iy)[gi, ti]
+        # dedup: a source sitting on a shared triangle edge registers in both
+        # triangles; keep one copy of images closer than ~1e-3 pixel
+        tol = 1e-3 * np.sqrt(4.0 * np.pi / len(tables.ring_of_nest))
+        keep = np.ones(len(gi), bool)
+        for g in np.unique(gi[np.bincount(gi, minlength=Gc)[gi] > 1]):
+            rows = np.flatnonzero(gi == g)
+            for a_i in range(1, len(rows)):
+                for b_i in range(a_i):
+                    if keep[rows[b_i]] and np.hypot(
+                        ixh[rows[a_i]] - ixh[rows[b_i]],
+                        iyh[rows[a_i]] - iyh[rows[b_i]],
+                    ) < tol:
+                        keep[rows[a_i]] = False
+                        break
+        gi, ti, ixh, iyh = gi[keep], ti[keep], ixh[keep], iyh[keep]
+        tv, pv = _tvec(gvec), _pvec(gvec)
+        ivec = gvec[gi] + ixh[:, None] * tv[gi] + iyh[:, None] * pv[gi]
+
+        theta, phi = hp.vec2ang(ivec)
+        pix4, wgt4 = hp.get_interpol(theta, phi, cfg.rayOrder)
+        pix4_nest = tables.nest_of_ring[pix4]
+        cvec4 = hp.pix2vec_nest(pix4_nest.reshape(-1), cfg.rayOrder
+                                ).reshape(-1, 4, 3)
+        Aimg = _interp_A_at(
+            jnp.asarray(ivec, dtype), jnp.asarray(grad_all[i0 + gi], dtype),
+            wpm1j, wpm2j,
+            jnp.asarray(pix4_nest), jnp.asarray(wgt4, dtype),
+            jnp.asarray(cvec4, dtype),
+            rays.n, rays.beta, rays.A, rays.Aprev,
+        )
+        Aimg = np.asarray(Aimg, np.float64)
+        # theta-phi -> ra-dec basis (gridsearch.c:800-806)
+        Ard = np.empty_like(Aimg)
+        Ard[:, 0, 0] = Aimg[:, 1, 1]
+        Ard[:, 0, 1] = -Aimg[:, 1, 0]
+        Ard[:, 1, 0] = -Aimg[:, 0, 1]
+        Ard[:, 1, 1] = Aimg[:, 0, 0]
+        ra, dec = hp.vec2radec(ivec)
+        out_idx.append(gidx[gi])
+        out_ra.append(ra)
+        out_dec.append(dec)
+        out_A.append(Ard)
+
+    if not out_idx:
+        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                         np.zeros((0, 2, 2)))
+    return ImageGals(np.concatenate(out_idx), np.concatenate(out_ra),
+                     np.concatenate(out_dec), np.concatenate(out_A))
+
+
+def _pvec(gvec):
+    npv = np.hypot(gvec[:, 0], gvec[:, 1])
+    return np.stack([-gvec[:, 1] / npv, gvec[:, 0] / npv,
+                     np.zeros(len(gvec))], axis=1)
+
+
+def _tvec(gvec):
+    npv = np.hypot(gvec[:, 0], gvec[:, 1])
+    return np.stack([gvec[:, 2] * gvec[:, 0] / npv,
+                     gvec[:, 2] * gvec[:, 1] / npv,
+                     -(gvec[:, 0] ** 2 + gvec[:, 1] ** 2) / npv], axis=1)
+
+
+def select_plane_gals(gal_pos, gal_index, plane_num, binL, num_planes,
+                      max_comv):
+    """Gals whose radial bin is the current plane (gridsearch.c:39-79)."""
+    rad = np.linalg.norm(np.asarray(gal_pos, np.float64), axis=1)
+    bind = (rad / binL).astype(np.int64)
+    at_edge = (bind == num_planes) & (np.abs(rad - max_comv) < 1e-3)
+    bind = np.where(at_edge, num_planes - 1, bind)
+    sel = bind == plane_num
+    return np.asarray(gal_pos)[sel], np.asarray(gal_index)[sel]

@@ -704,3 +704,93 @@ def neighbors_nest(pix, order):
                 yf = np.where(bits & 4, xs, ys)
                 result[ok, i] = xyf2nest(xf[ok], yf[ok], fn[ok], order)
     return result
+
+
+# ----------------------------------------------------------------------------
+# grid triangulation (reference ring2triangle, healpix_utils.c:1273-1423)
+# ----------------------------------------------------------------------------
+
+def build_triangles(order):
+    """Triangulation of the pixel-center grid: tri [npix, 4, 3] RING pixel
+    indices, -1-padded.  Triangle slot 0 of pixel p is (p, right-neighbor,
+    above-ring pixel); slots 1-2 close the strip toward the ring above; the
+    polar rings carry the cap-closing triangles.  The full table tiles the
+    sphere: exactly 2*npix - 4 triangles (Euler).  Vectorized host port of
+    the reference's per-pixel ring2triangle.
+    """
+    rt = build_ring_table(order)
+    nside, npix = rt.nside, rt.npix
+    pix = np.arange(npix, dtype=np.int64)
+    ringnum = np.searchsorted(rt.startpix, pix, side="right")  # 1-based
+    sp = rt.startpix[ringnum - 1]
+    Np = rt.ringpix[ringnum - 1]
+    sh = rt.shifted[ringnum - 1].astype(np.int64)
+    ip = pix - sp
+    ringA = ringnum - 1
+    iA = np.clip(ringA, 1, rt.nrings) - 1
+    spA = rt.startpix[iA]
+    NpA = rt.ringpix[iA]
+
+    tri = np.full((npix, 4, 3), -1, dtype=np.int64)
+    right = (ip + 1) % Np + sp
+
+    def put(mask, slot, a, b, c):
+        tri[mask, slot, 0] = a[mask] if a.shape else a
+        tri[mask, slot, 1] = b[mask]
+        tri[mask, slot, 2] = c[mask]
+
+    # north polar cap rings 2..nside
+    m = (ringnum >= 2) & (ringnum <= nside)
+    ib = ip % np.maximum(ringnum, 1)
+    bnum = ip // np.maximum(ringnum, 1)
+    interior = ib < ringnum - 1
+    X_int = (ib + bnum * ringA) % NpA + spA
+    X_cor = (ib + bnum * ringA - 1) % NpA + spA
+    X = np.where(interior, X_int, X_cor)
+    put(m, 0, pix, right, X)
+    X2 = (X_int - spA - 1) % NpA + spA
+    put(m & interior, 1, pix, X_int, X2)
+
+    # equatorial rings nside+1 .. 3*nside
+    me = (ringnum > nside) & (ringnum <= 3 * nside)
+    ibe = ip % nside
+    bne = ip // nside
+    above_nr = np.where(ringA > nside, nside, ringA)
+    Xe = (sh + ibe + bne * above_nr) % NpA + spA
+    Xe2 = (Xe - spA - 1) % NpA + spA
+    put(me, 0, pix, right, Xe)
+    put(me, 1, pix, Xe, Xe2)
+
+    # south polar cap rings 3*nside+1 .. 4*nside-1
+    ms = ringnum > 3 * nside
+    nring = np.maximum(4 * nside - ringnum, 1)
+    nringA = np.maximum(4 * nside - ringA, 1)
+    ibs = ip % nring
+    bns = ip // nring
+    Xs = (sh + ibs + bns * nringA) % NpA + spA
+    Xs2 = (Xs - spA - 1) % NpA + spA
+    Xs3 = (Xs2 - spA - 1) % NpA + spA
+    put(ms, 0, pix, right, Xs)
+    put(ms, 1, pix, Xs, Xs2)
+    put(ms & (ibs == 0), 2, pix, Xs2, Xs3)
+
+    # north pole cap-closers (ring 1: pixels 0..3)
+    tri[0, 0] = (0, 2, 3)
+    tri[1, 0] = -1
+    tri[2, 0] = (2, 0, 1)
+    tri[3, 0] = -1
+    # reference only emits the two closers for ring-1 pixels; clear any strip
+    # entries the cap formulas would not produce
+    tri[0, 1:] = -1
+    tri[1, :] = -1
+    tri[2, 1:] = -1
+    tri[3, :] = -1
+
+    # south pole cap-closers appended at the pixels' next free slot
+    last = ringnum == 4 * nside - 1
+    for p, t in ((npix - 1, (npix - 1, npix - 3, npix - 4)),
+                 (npix - 3, (npix - 3, npix - 2, npix - 1))):
+        slot = int(np.sum(tri[p, :, 0] >= 0))
+        tri[p, slot] = t
+    del last
+    return tri

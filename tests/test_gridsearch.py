@@ -1,0 +1,178 @@
+"""Galaxy image grid search tests (reference gridsearch.c).
+
+Undeflected grid: every source must have exactly one image at its own
+position with A = identity.  Point-mass trace: images displaced toward/away
+per the lens equation, magnification matrix matches the analytic shear.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from calclens_tpu.config import RayTraceConfig
+from calclens_tpu.driver import Raytracer, plane_params
+from calclens_tpu.gals import gridsearch as gs
+from calclens_tpu.gals import io as galsio
+from calclens_tpu.healpix import core as hp
+from calclens_tpu.rays.propagate import init_rays
+from calclens_tpu.testing import pointmass as pm
+
+
+def test_triangle_table_counts_and_coverage():
+    for order in (2, 4):
+        tri = hp.build_triangles(order)
+        npix = int(hp.order2npix(order))
+        T = tri[tri[:, :, 0] >= 0]
+        assert len(T) == 2 * npix - 4
+        v = hp.pix2vec_ring(np.arange(npix), order)
+        A, B, C = v[T[:, 0]], v[T[:, 1]], v[T[:, 2]]
+        orient = np.sign(np.einsum("ij,ij->i", A, np.cross(B, C)))
+        rng = np.random.default_rng(1)
+        P = rng.normal(size=(500, 3))
+        P /= np.linalg.norm(P, axis=1, keepdims=True)
+        d1 = (P @ np.cross(A, B).T) * orient
+        d2 = (P @ np.cross(B, C).T) * orient
+        d3 = (P @ np.cross(C, A).T) * orient
+        cnt = ((d1 >= 0) & (d2 >= 0) & (d3 >= 0)).sum(axis=1)
+        assert np.all(cnt == 1)
+
+
+def test_undeflected_grid_identity_images():
+    order = 5
+    cfg = RayTraceConfig(OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+                         rayOrder=order, bundleOrder=2, SHTOrder=5,
+                         Precision="f64").finalize()
+    npix = int(hp.order2npix(order))
+    nest = np.arange(npix, dtype=np.int64)
+    vec = hp.pix2vec_nest(nest, order)
+    wpm1, wpm2 = 625.0, 375.0
+    rays = init_rays(jnp.asarray(vec), wpm1, dtype=jnp.float64)
+
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(200, 3))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    grad = rng.uniform(600.0, 740.0, size=200)
+    gal_pos = g * grad[:, None]
+    tables = gs.GridSearchTables(order)
+    images = gs.find_images(cfg, tables, rays, gal_pos,
+                            np.arange(200), wpm1, wpm2)
+    # exactly one image per source, at the source position, with A = I
+    assert len(images.index) == 200
+    assert len(np.unique(images.index)) == 200
+    order_idx = np.argsort(images.index)
+    ra_img = images.ra[order_idx]
+    dec_img = images.dec[order_idx]
+    ra_src, dec_src = hp.vec2radec(g)
+    sep = np.hypot((ra_img - ra_src) * np.cos(np.radians(dec_src)),
+                   dec_img - dec_src)
+    pixdeg = np.degrees(np.sqrt(4 * np.pi / npix))
+    assert np.max(sep) < 0.05 * pixdeg
+    A = images.A[order_idx]
+    np.testing.assert_allclose(A[:, 0, 0], 1.0, atol=1e-10)
+    np.testing.assert_allclose(A[:, 0, 1], 0.0, atol=1e-10)
+    np.testing.assert_allclose(A[:, 1, 1], 1.0, atol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def pm_trace(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("gstest")
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+        LensPlanePath=str(tmp), LensPlaneName="pmplane",
+        SHTOrder=7, rayOrder=6, bundleOrder=3,
+        partMass=5.0e16, raPointMass=32.0, decPointMass=14.0,
+        radPointMass=625.0, PointMassTest=True, Precision="f64",
+        ComvSmoothingScale=1.0, SmoothingBeamFWHM=0.024,
+        GalOutputName="gal_", OutputPath=str(tmp / "out"),
+    ).finalize()
+    mass_vec, mass_plane = pm.make_pointmass_planes(cfg, snap_to_pixel_order=cfg.SHTOrder)
+    rt = Raytracer(cfg)
+    rt.init_rays()
+    # trace up to the plane AFTER the mass so rays carry its deflection
+    for p in range(mass_plane + 1):
+        rt.step(p)
+    return cfg, rt, np.asarray(mass_vec), mass_plane
+
+
+def test_pointmass_images_displaced(pm_trace):
+    cfg, rt, mass_vec, mass_plane = pm_trace
+    # sources in the radial bin of plane mass_plane+2 (rays at that plane
+    # carry the deflection from the mass plane)
+    target_plane = mass_plane + 2
+    binL = cfg.maxComvDistance / cfg.NumLensPlanes
+    for p in range(mass_plane + 1, target_plane):
+        rt.step(p)
+    w_src = target_plane * binL + binL / 2.0
+
+    # ring of sources at gamma from the mass
+    rng = np.random.default_rng(2)
+    nsrc = 60
+    gammas = np.linspace(0.1, 0.35, nsrc)
+    # build unit vectors at angle gamma from mass_vec, random azimuth
+    e1 = np.cross(mass_vec, [0.0, 0.0, 1.0])
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(mass_vec, e1)
+    az = rng.uniform(0, 2 * np.pi, nsrc)
+    gvec = (np.cos(gammas)[:, None] * mass_vec[None, :]
+            + np.sin(gammas)[:, None] * (np.cos(az)[:, None] * e1
+                                         + np.sin(az)[:, None] * e2))
+    gal_pos = gvec * w_src
+
+    pp = plane_params(cfg, rt.cosmo, target_plane)
+    tables = gs.GridSearchTables(cfg.rayOrder)
+    images = gs.find_images(cfg, tables, rt.rays, gal_pos,
+                            np.arange(nsrc), pp.rad, pp.rad_minus1)
+    assert len(images.index) == nsrc, "one image per weakly-lensed source"
+
+    # lens equation: beta = theta - (ws-wl)/ws alpha(theta); images move AWAY
+    # from the mass: gamma_img ~ gamma_src + lever * alpha
+    ppl = plane_params(cfg, rt.cosmo, mass_plane)
+    q = pm.charge(cfg, rt.cosmo, ppl.rad)
+    lever = (w_src - ppl.rad) / w_src
+    ivec = hp.radec2vec(images.ra, images.dec)
+    order_idx = np.argsort(images.index)
+    gamma_img = np.arccos(np.clip(ivec[order_idx] @ mass_vec, -1, 1))
+    pred = gammas + lever * pm.alpha_exact(gammas, q)
+    err = np.abs(gamma_img - pred) / (lever * pm.alpha_exact(gammas, q))
+    assert np.median(err) < 0.1, np.median(err)
+
+    # magnification matrix: tangential shear matches analytic
+    A = images.A[order_idx]
+    g1 = 0.5 * (A[:, 1, 1] - A[:, 0, 0])
+    g2 = -0.5 * (A[:, 0, 1] + A[:, 1, 0])
+    shear = np.hypot(g1, g2)
+    ref = lever * pm.alpha_exact(gammas, q) / np.tan(gammas)  # ~ gamma_t
+    ref = pm.shear_tangential(gammas, q, ppl.rad, w_src)
+    rel = np.abs(shear - ref) / ref
+    assert np.median(rel) < 0.1, np.median(rel)
+
+
+def test_image_gal_fits_roundtrip(tmp_path):
+    cfg = RayTraceConfig(OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+                         rayOrder=4, bundleOrder=2, SHTOrder=4,
+                         OutputPath=str(tmp_path), GalOutputName="gal_",
+                         ).finalize()
+    img = gs.ImageGals(
+        index=np.array([3, 11], np.int64),
+        ra=np.array([10.0, 250.0]), dec=np.array([-5.0, 60.0]),
+        A=np.tile(np.eye(2), (2, 1, 1)) * 0.9,
+    )
+    path = galsio.write_image_gals(cfg, img, plane_num=5)
+    rec = galsio.read_image_gals(path)
+    np.testing.assert_array_equal(rec["index"], img.index)
+    np.testing.assert_allclose(rec["ra"], img.ra)
+    np.testing.assert_allclose(rec["A00"], 0.9)
+
+
+def test_source_gal_catalog_roundtrip(tmp_path):
+    pos = np.random.default_rng(0).normal(size=(50, 3)) * 500.0
+    p1 = tmp_path / "cat1.fit"
+    p2 = tmp_path / "cat2.fit"
+    galsio.write_source_gals(str(p1), pos[:30])
+    galsio.write_source_gals(str(p2), pos[30:])
+    lst = tmp_path / "gals.txt"
+    lst.write_text(f"{p1}\n{p2}\n")
+    rpos, ridx = galsio.read_source_gals(str(lst))
+    assert len(rpos) == 50
+    np.testing.assert_allclose(rpos[:30], pos[:30])
+    # index encodes fileNum + NumFiles*row
+    assert ridx[0] == 0 and ridx[1] == 2 and ridx[30] == 1
