@@ -157,7 +157,15 @@ class Raytracer:
 
     # ------------------------------------------------------------------
     def load_particles(self, plane_num: int):
-        fn = lensplanes.plane_filename(self.cfg.LensPlanePath, self.cfg.LensPlaneName, plane_num)
+        """Dispatch by LensPlaneType (reference partio.c:42-61)."""
+        cfg = self.cfg
+        if cfg.LensPlaneType.lower() == "pixlc":
+            from .io import pixlc
+
+            return pixlc.read_plane(cfg.LensPlanePath, cfg.LensPlaneName,
+                                    plane_num)[:2]
+        fn = lensplanes.plane_filename(cfg.LensPlanePath, cfg.LensPlaneName,
+                                       plane_num)
         return lensplanes.read_plane(fn)
 
     def step(self, plane_num: int, pos=None, mass=None, with_maps: bool = False):

@@ -125,10 +125,11 @@ class InterpTables:
         self.order = order
         self.nside = rt.nside
         self.npix = rt.npix
-        self.startpix = jnp.asarray(rt.startpix, dtype=jnp.int32)
-        self.ringpix = jnp.asarray(rt.ringpix, dtype=jnp.int32)
-        self.theta = jnp.asarray(rt.theta, dtype=dtype)
-        self.shifted = jnp.asarray(rt.shifted.astype(np.float64) * 0.5, dtype=dtype)
+        # host numpy: embedded as jit constants without device round-trips
+        self.startpix = np.asarray(rt.startpix, dtype=np.int32)
+        self.ringpix = np.asarray(rt.ringpix, dtype=np.int32)
+        self.theta = np.asarray(rt.theta, dtype=np.dtype(dtype))
+        self.shifted = np.asarray(rt.shifted.astype(np.float64) * 0.5, dtype=np.dtype(dtype))
 
 
 def get_interpol(tab: InterpTables, theta, phi):
@@ -137,6 +138,10 @@ def get_interpol(tab: InterpTables, theta, phi):
     Returns (pix [..., 4] int32 RING indices, wgt [..., 4]).
     """
     nside = tab.nside
+    startpix_t = jnp.asarray(tab.startpix)
+    ringpix_t = jnp.asarray(tab.ringpix)
+    theta_t = jnp.asarray(tab.theta)
+    shifted_t = jnp.asarray(tab.shifted)
     z = jnp.cos(theta)
     az = jnp.abs(z)
     ir_cap = (nside * jnp.sqrt(jnp.maximum(3.0 * (1.0 - az), 0.0))).astype(jnp.int32)
@@ -149,9 +154,9 @@ def get_interpol(tab: InterpTables, theta, phi):
 
     def ring_interp(ir):
         idx = jnp.clip(ir, 1, nrings) - 1
-        sp = tab.startpix[idx]
-        nr = tab.ringpix[idx]
-        shift = tab.shifted[idx]
+        sp = startpix_t[idx]
+        nr = ringpix_t[idx]
+        shift = shifted_t[idx]
         dphi = 2.0 * jnp.pi / nr.astype(theta.dtype)
         tmp = phi / dphi - shift
         i1 = jnp.floor(tmp).astype(jnp.int32)
@@ -159,7 +164,7 @@ def get_interpol(tab: InterpTables, theta, phi):
         i2 = i1 + 1
         i1 = jnp.where(i1 < 0, i1 + nr, i1)
         i2 = jnp.where(i2 >= nr, i2 - nr, i2)
-        return sp + i1, sp + i2, w, tab.theta[idx]
+        return sp + i1, sp + i2, w, theta_t[idx]
 
     p11, p12, w1, theta1 = ring_interp(ir1)
     p21, p22, w2, theta2 = ring_interp(ir2)

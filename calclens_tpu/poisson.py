@@ -37,7 +37,7 @@ class PlaneScalars(NamedTuple):
 @partial(jax.jit, static_argnums=0)
 def solve_potential(plan: SHTPlan, density):
     """Scaled surface density map -> FieldMaps (phi and covariant derivs)."""
-    alm = T.legendre_analysis(plan, *T.fold_pairs(plan, T.analysis_rings(plan, density)))
+    alm = T.map2alm(plan, density)
     ls = jnp.arange(plan.nl, dtype=plan.dtype)[:, None]
     inv = jnp.where(ls > 0, -1.0 / jnp.maximum(ls * (ls + 1.0), 1.0), 0.0)
     if plan.window_dev is not None:

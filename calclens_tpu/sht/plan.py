@@ -81,16 +81,16 @@ class SHTPlan:
             ringidx[r, :n] = rt.startpix[r] + np.arange(n)
             ringmask[r, :n] = True
         assert self.npix < 2**31, "device int32 gather limit"
-        self.ring_gather = jnp.asarray(ringidx, dtype=jnp.int32)
+        self.ring_gather = np.asarray(ringidx, dtype=np.int32)
         self._ringidx_host = ringidx
-        self.ring_mask = jnp.asarray(ringmask)
+        self.ring_mask = np.asarray(ringmask)
 
         # inverse: ring matrix flattened [nrings_pad * P] -> map[npix]
         flat = np.zeros(self.npix, dtype=np.int64)
         for r in range(self.nrings):
             n = rt.ringpix[r]
             flat[rt.startpix[r]: rt.startpix[r] + n] = r * self.P + np.arange(n)
-        self.map_gather = jnp.asarray(flat, dtype=jnp.int64 if self.nrings_pad * self.P >= 2**31 else jnp.int32)
+        self.map_gather = np.asarray(flat, dtype=np.int64 if self.nrings_pad * self.P >= 2**31 else np.int32)
 
         # quadrature weights: 4pi/npix times optional ring correction
         w = np.full(self.nrings_pad, 4.0 * np.pi / self.npix, dtype=np.float64)
@@ -106,26 +106,27 @@ class SHTPlan:
         #     nrings-1-j south; j == J-1 is the equator, its own partner) ---
         jj = np.arange(self.J)
         th = rt.theta[jj]
-        self.cth = jnp.asarray(np.cos(th), dtype=dtype)
-        self.sth = jnp.asarray(np.sin(th), dtype=dtype)
-        self.cot = jnp.asarray(np.cos(th) / np.sin(th), dtype=dtype)
-        self.inv_sth = jnp.asarray(1.0 / np.sin(th), dtype=dtype)
-        self.wN = jnp.asarray(w[jj], dtype=dtype)
+        ndt = np.dtype(dtype)
+        self.cth = np.asarray(np.cos(th), dtype=ndt)
+        self.sth = np.asarray(np.sin(th), dtype=ndt)
+        self.cot = np.asarray(np.cos(th) / np.sin(th), dtype=ndt)
+        self.inv_sth = np.asarray(1.0 / np.sin(th), dtype=ndt)
+        self.wN = np.asarray(w[jj], dtype=ndt)
         wS = w[self.nrings - 1 - jj].copy()
         wS[self.J - 1] = 0.0  # equator has no southern partner
-        self.wS = jnp.asarray(wS, dtype=dtype)
+        self.wS = np.asarray(wS, dtype=ndt)
 
         # per-ring dtype tables on device
-        self.theta_dev = jnp.asarray(theta, dtype=dtype)
-        self.sth_ring = jnp.asarray(np.sin(theta), dtype=dtype)
-        self.cot_ring = jnp.asarray(np.cos(theta) / np.sin(theta), dtype=dtype)
-        self.n_dev = jnp.asarray(npr, dtype=jnp.int32)
-        self.shift_dev = jnp.asarray(shifted, dtype=jnp.int32)
-        self.qweight_dev = jnp.asarray(w, dtype=dtype)
+        self.theta_dev = np.asarray(theta, dtype=ndt)
+        self.sth_ring = np.asarray(np.sin(theta), dtype=ndt)
+        self.cot_ring = np.asarray(np.cos(theta) / np.sin(theta), dtype=ndt)
+        self.n_dev = np.asarray(npr, dtype=np.int32)
+        self.shift_dev = np.asarray(shifted, dtype=np.int32)
+        self.qweight_dev = np.asarray(w, dtype=ndt)
 
         # m index vector
-        self.m_int = jnp.arange(self.nm, dtype=jnp.int32)
-        self.m_f = jnp.arange(self.nm, dtype=dtype)
+        self.m_int = np.arange(self.nm, dtype=np.int32)
+        self.m_f = np.arange(self.nm, dtype=ndt)
 
         # optional l-space window b_l (pixel window / smoothing beam — the
         # reference's plan.window_function, healpix_shtrans.h:30-45); None
@@ -134,9 +135,12 @@ class SHTPlan:
             wl = np.ones(self.nl, dtype=np.float64)
             wa = np.asarray(window, dtype=np.float64)
             wl[: min(self.nl, len(wa))] = wa[: self.nl]
-            self.window_dev = jnp.asarray(wl, dtype=dtype)
+            self.window_dev = np.asarray(wl, dtype=np.dtype(dtype))
         else:
             self.window_dev = None
+
+        # None = auto (Pallas Legendre kernels on TPU f32); True/False forces
+        self.use_pallas = None
 
         # optional device mesh: transforms add with_sharding_constraint at the
         # ring-space / m-space boundaries so GSPMD inserts the ring<->m

@@ -42,6 +42,15 @@ _RESC = 2.0**-64
 _TINY = 2.0**-64
 
 
+def _use_pallas(plan):
+    """Use the Pallas VMEM-resident Legendre kernels on TPU f32 (overridable
+    via plan.use_pallas)."""
+    override = getattr(plan, "use_pallas", None)
+    if override is not None:
+        return override
+    return jax.default_backend() == "tpu" and plan.dtype == jnp.float32
+
+
 def _cst(plan, x, spec_name):
     """Sharding constraint when the plan carries a mesh (no-op otherwise).
     These mark the ring-sharded / m-sharded regions; XLA inserts the
@@ -201,6 +210,10 @@ def map2alm(plan: SHTPlan, m):
     """
     G = analysis_rings(plan, m)
     E, O = fold_pairs(plan, G)
+    if _use_pallas(plan):
+        from . import pallas_legendre as PL
+
+        return PL.analysis_pallas(plan, E, O)
     return legendre_analysis(plan, E, O)
 
 
@@ -303,9 +316,17 @@ def legendre_synthesis(plan: SHTPlan, alm, derivs: bool):
     return qN, qS
 
 
+def _legendre_synth_dispatch(plan, alm, derivs):
+    if _use_pallas(plan):
+        from . import pallas_legendre as PL
+
+        return PL.synthesis_pallas(plan, alm, derivs)
+    return legendre_synthesis(plan, alm, derivs)
+
+
 def alm2map(plan: SHTPlan, alm):
     """alm [nl, nm] -> RING map [npix] (potential only, non-SHTONLY path)."""
-    qN, qS = legendre_synthesis(plan, alm, False)
+    qN, qS = _legendre_synth_dispatch(plan, alm, False)
     Q = unfold_pairs(plan, qN[0], qS[0])
     return synthesis_rings(plan, Q[None])[0]
 
@@ -318,7 +339,7 @@ def alm2allmaps(plan: SHTPlan, alm):
     deflection alpha = -grad(phi) and shear tensor U
     (alm2allmaps_transpose_mpi.c:121-131, 1080-1147).
     """
-    qN, qS = legendre_synthesis(plan, alm, True)
+    qN, qS = _legendre_synth_dispatch(plan, alm, True)
     qphi = unfold_pairs(plan, qN[0], qS[0])
     qth = unfold_pairs(plan, qN[1], qS[1])
     qthth = unfold_pairs(plan, qN[2], qS[2])
