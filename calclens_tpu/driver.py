@@ -172,8 +172,10 @@ class Raytracer:
         """One plane: Poisson solve at planeRad then propagate to planeRadPlus1."""
         t0 = time.perf_counter()
         pp = plane_params(self.cfg, self.cosmo, plane_num)
-        if pos is None:
+        if pos is None and not self.cfg.ThreeDPot:
             pos, mass = self.load_particles(plane_num)
+        pos = pos if pos is not None else []
+        mass = mass if mass is not None else []
         scal = PlaneScalars(
             densfact=jnp.asarray(pp.densfact, self.dtype),
             backdens=jnp.asarray(pp.backdens, self.dtype),
@@ -182,6 +184,21 @@ class Raytracer:
             wpm2=jnp.asarray(pp.rad_minus1, self.dtype),
         )
         maps = None
+        if self.cfg.ThreeDPot:
+            # 3D FFT potential path (THREEDPOT, fftpoissondriver.c:45)
+            if not hasattr(self, "threedpot") or self.threedpot is None:
+                from .fftpot import ThreeDPotDriver
+
+                self.threedpot = ThreeDPotDriver(self.cfg, self.cosmo)
+            binL = self.cfg.maxComvDistance / self.cfg.NumLensPlanes
+            rays = rp.zero_plane_fields(self.rays)
+            rays = self.threedpot.apply(rays, pp.rad, binL)
+            rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2,
+                                     born=self.cfg.BornApprx)
+            self.rays = jax.block_until_ready(rays)
+            self.current_plane = plane_num + 1
+            self.timings.append((plane_num, time.perf_counter() - t0))
+            return None
         if len(pos):
             pos_d, mass_d = self._pad_particles(pos, mass)
             rays, maps = plane_step(
