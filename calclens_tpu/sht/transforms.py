@@ -76,11 +76,23 @@ def _ring_phase(plan: SHTPlan, sign):
     return (jnp.cos(ph) + 1j * jnp.sin(ph)).astype(plan.cdtype)
 
 
+def _ring_stage(plan):
+    rs = getattr(plan, "_ring_stage", None)
+    if rs is None:
+        from .rings import RingStage
+
+        rs = RingStage(plan.order, plan.nm, plan.nrings_pad, dtype=plan.dtype)
+        plan._ring_stage = rs
+    return rs
+
+
 def analysis_rings(plan: SHTPlan, maps):
     """RING map(s) [..., npix] -> G_m per ring [..., nrings_pad, nm].
 
     G[r, m] = sum_p map(r,p) exp(-i m phi_rp) = e^{-i m phi0} DFT_n(x)[m mod n]
     """
+    if getattr(plan, "use_rings_v2", True):
+        return _ring_stage(plan).analysis(maps)
     X = plan.map_to_rings(maps)  # [..., R, P]
     lead = X.shape[:-2]
     Xf = X.reshape((-1,) + X.shape[-2:])
@@ -100,6 +112,8 @@ def synthesis_rings(plan: SHTPlan, Q):
 
     map(r,p) = Re sum_m (2 - delta_m0) q_m e^{i m phi_rp}
     """
+    if getattr(plan, "use_rings_v2", True):
+        return _ring_stage(plan).synthesis(Q)
     wfold = jnp.where(plan.m_int == 0, 1.0, 2.0).astype(plan.dtype)
     Y = Q * wfold[None, :] * _ring_phase(plan, +1)
     lead = Y.shape[:-2]
