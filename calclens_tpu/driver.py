@@ -86,12 +86,26 @@ class Raytracer:
         self.cfg = cfg
         self.dtype = dtype or (jnp.float64 if cfg.Precision == "f64" else jnp.float32)
         self.cosmo = Cosmology(cfg.OmegaM)
+        lmax = 3 * (1 << cfg.poissonOrder) - 1
         window = None
         if cfg.SmoothingBeamFWHM > 0.0:
-            lmax = 3 * (1 << cfg.poissonOrder) - 1
             window = gauss_beam(cfg.SmoothingBeamFWHM, lmax)
+        if cfg.HEALPixWindowFunctionPath:
+            from .io.weights import read_pixel_window
+
+            pw = read_pixel_window(cfg.HEALPixWindowFunctionPath, cfg.poissonOrder)
+            pw = pw[: lmax + 1]
+            window = pw if window is None else window * np.pad(
+                pw, (0, max(0, lmax + 1 - len(pw))), constant_values=1.0)
+        ring_weights = None
+        if cfg.HEALPixRingWeightPath:
+            from .io.weights import read_ring_weights
+
+            ring_weights = read_ring_weights(cfg.HEALPixRingWeightPath,
+                                             cfg.poissonOrder)
         self.mesh = mesh
-        self.plan = SHTPlan(cfg.poissonOrder, dtype=self.dtype, window=window, mesh=mesh)
+        self.plan = SHTPlan(cfg.poissonOrder, dtype=self.dtype, window=window,
+                            ring_weights=ring_weights, mesh=mesh)
         self.tab = jaxhp.InterpTables(cfg.poissonOrder, dtype=self.dtype)
         self.rays = None
         self.ray_nest = None  # host int64 nest index per ray

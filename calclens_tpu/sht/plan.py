@@ -152,13 +152,32 @@ class SHTPlan:
         else:
             self.spec = None
 
+    # The index arrays below are computed IN-GRAPH from [nrings]-sized host
+    # tables instead of being embedded as O(npix) constants: at high orders
+    # constant index tables blow the compiled program size (hundreds of MB).
+
+    def _pix2ring_ingraph(self):
+        """(ring index, offset in ring) per map pixel, computed on device."""
+        p = jnp.arange(self.npix, dtype=jnp.int32)
+        sp = jnp.asarray(self.startpix[: self.nrings], jnp.int32)
+        r = jnp.searchsorted(sp, p, side="right") - 1
+        return r, p - sp[r]
+
     def rings_to_map(self, X):
         """[..., nrings_pad, P] ring matrix -> [..., npix] RING-ordered map."""
+        r, off = self._pix2ring_ingraph()
+        idx = r * self.P + off
         flatX = X.reshape(X.shape[:-2] + (self.nrings_pad * self.P,))
-        return jnp.take(flatX, self.map_gather, axis=-1)
+        return jnp.take(flatX, idx, axis=-1)
 
     def map_to_rings(self, m):
         """[..., npix] RING-ordered map -> [..., nrings_pad, P] (zero padded)."""
-        X = jnp.take(m, self.ring_gather.reshape(-1), axis=-1)
+        sp = jnp.asarray(self.startpix, jnp.int32)
+        npr = jnp.asarray(self.npix_ring, jnp.int32)
+        j = jnp.arange(self.P, dtype=jnp.int32)
+        rows = jnp.arange(self.nrings_pad, dtype=jnp.int32)
+        mask = (j[None, :] < npr[:, None]) & (rows[:, None] < self.nrings)
+        idx = jnp.where(mask, sp[:, None] + j[None, :], 0)
+        X = jnp.take(m, idx.reshape(-1), axis=-1)
         X = X.reshape(m.shape[:-1] + (self.nrings_pad, self.P))
-        return jnp.where(self.ring_mask, X, 0)
+        return jnp.where(mask, X, 0)

@@ -16,6 +16,10 @@ Versus the uniform CZT (three length-8*nside FFTs for every ring) this is a
 ~4x FLOP reduction, and the cost structure matches the reference's
 per-ring-length FFTW plans (healpix_shtrans.c:168-205) the TPU way: a few
 large static-shape batched FFTs instead of thousands of tiny ones.
+
+All O(npix)/O(nrings*nm) index and phase arrays are computed in-graph from
+[nrings]-sized tables — large literal constants blow up the compiled-program
+size at high orders.
 """
 
 from __future__ import annotations
@@ -32,7 +36,7 @@ def _pad_rows(n, mult=8):
 
 
 class RingStage:
-    """Host-built tables + device methods for map <-> per-ring Fourier modes.
+    """Host-built (small) tables + device methods for map <-> ring modes.
 
     G layout: [nrings_pad, nm] complex, ring r at row r (same contract as the
     uniform-CZT path, so fold_pairs/unfold_pairs are unchanged).
@@ -48,98 +52,105 @@ class RingStage:
         self.nrings_pad = nrings_pad
         self.dtype = dtype
         self.cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        self.npix = int(hp.order2npix(order))
 
         rt = hp.build_ring_table(order)
-        ringpix = rt.ringpix
-        startpix = rt.startpix
-        shifted = rt.shifted
+        self.startpix = rt.startpix.astype(np.int64)
+        self.ringpix = rt.ringpix.astype(np.int64)
+        self.shifted = rt.shifted.copy()
 
         rings = np.arange(self.nrings)
-        eq = ringpix == P
+        eq = self.ringpix == P
         self.eq_rows = rings[eq]
         cap_rows = rings[~eq]
 
-        # --- equatorial gather [n_eq_pad, P] ---
         ne = len(self.eq_rows)
         self.ne_pad = _pad_rows(ne)
-        gi = np.zeros((self.ne_pad, P), dtype=np.int64)
-        for k, r in enumerate(self.eq_rows):
-            gi[k] = startpix[r] + np.arange(P)
-        self.eq_gather = gi.astype(np.int32)
         self.eq_rows_pad = np.concatenate(
             [self.eq_rows, np.full(self.ne_pad - ne, self.nrings_pad - 1)])
         self.eq_valid = np.arange(self.ne_pad) < ne
+        # padded rows read pixel 0 harmlessly (they are never scattered back)
+        self.eq_start = np.concatenate(
+            [self.startpix[self.eq_rows], np.zeros(self.ne_pad - ne, np.int64)])
 
         # --- cap buckets by length octave ---
         self.buckets = []
         if len(cap_rows):
-            nmax_all = int(ringpix[cap_rows].max())
+            nmax_all = int(self.ringpix[cap_rows].max())
             hi = 1 << int(np.ceil(np.log2(nmax_all)))
             while True:
                 lo = hi // 2
                 if lo <= min_bucket_n:
-                    sel = cap_rows[ringpix[cap_rows] <= hi]
+                    sel = cap_rows[self.ringpix[cap_rows] <= hi]
                 else:
-                    sel = cap_rows[(ringpix[cap_rows] > lo)
-                                   & (ringpix[cap_rows] <= hi)]
+                    sel = cap_rows[(self.ringpix[cap_rows] > lo)
+                                   & (self.ringpix[cap_rows] <= hi)]
                 if len(sel):
-                    self.buckets.append(self._make_bucket(sel, int(hi),
-                                                          ringpix, startpix))
+                    self.buckets.append(self._make_bucket(sel, int(hi)))
                 if lo <= min_bucket_n:
                     break
                 hi = lo
-        # quick sanity: every ring appears exactly once
         covered = set(self.eq_rows.tolist())
         for b in self.buckets:
             covered.update(b["rows"].tolist())
         assert len(covered) == self.nrings
 
-        # phases e^{+-i m phi0} per canonical ring row [nrings_pad, nm]
-        m = np.arange(nm)
-        ph = np.zeros((nrings_pad, nm))
-        for r in range(self.nrings):
-            if shifted[r]:
-                ph[r] = np.pi * m / ringpix[r]
-        self._phase_ang = ph
-
-        # map scatter for synthesis: map[npix] built by one gather from the
-        # concatenation [eq X (ne_pad*P) | bucket0 X (rows0*n0) | ...]
-        npix = int(hp.order2npix(order))
-        src = np.zeros(npix, dtype=np.int64)
-        off_eq = 0
+        # per-ring row base inside the concatenated synthesis output
+        base = np.zeros(self.nrings, dtype=np.int64)
         for k, r in enumerate(self.eq_rows):
-            src[startpix[r]: startpix[r] + P] = off_eq + k * P + np.arange(P)
+            base[r] = k * P
         off = self.ne_pad * P
         for b in self.buckets:
-            nmax = b["nmax"]
             for k, r in enumerate(b["rows"]):
-                n = ringpix[r]
-                src[startpix[r]: startpix[r] + n] = off + k * nmax + np.arange(n)
-            off += b["rows_pad"] * nmax
-        self.map_src = src.astype(np.int64 if off >= 2**31 else np.int32)
+                base[r] = off + k * b["nmax"]
+            off += b["rows_pad"] * b["nmax"]
+        self.piece_base = base
         self.total_len = off
 
-    def _make_bucket(self, rows, nmax, ringpix, startpix):
+        # per-ring n for the phase computation, padded rows harmless
+        npad = np.full(nrings_pad, P, dtype=np.int64)
+        npad[: self.nrings] = self.ringpix
+        self.n_allrows = npad
+        sh = np.zeros(nrings_pad, dtype=np.float64)
+        sh[: self.nrings] = self.shifted.astype(np.float64)
+        self.shift_allrows = sh
+
+    def _make_bucket(self, rows, nmax):
         nr = len(rows)
         nr_pad = _pad_rows(nr)
-        gi = np.zeros((nr_pad, nmax), dtype=np.int64)
-        mask = np.zeros((nr_pad, nmax), dtype=bool)
-        nvec = np.full(nr_pad, nmax, dtype=np.int32)  # dummies at nmax: keeps
-        # the synthesis fold depth (jmax) tied to real ring lengths
-        for k, r in enumerate(rows):
-            n = ringpix[r]
-            gi[k, :n] = startpix[r] + np.arange(n)
-            mask[k, :n] = True
-            nvec[k] = n
-        L = 2 * nmax
-        return dict(rows=rows, rows_pad=nr_pad, nmax=nmax, gather=gi.astype(np.int32),
-                    mask=mask, n=nvec, L=L,
+        nvec = np.full(nr_pad, nmax, dtype=np.int32)
+        nvec[:nr] = self.ringpix[rows]
+        start = np.zeros(nr_pad, dtype=np.int64)
+        start[:nr] = self.startpix[rows]
+        return dict(rows=rows, rows_pad=nr_pad, nmax=nmax, n=nvec, L=2 * nmax,
+                    start=start,
                     rows_dev=np.concatenate(
                         [rows, np.full(nr_pad - nr, self.nrings_pad - 1)]
                     ).astype(np.int32),
                     valid=np.arange(nr_pad) < nr)
 
     # ------------------------------------------------------------------
+    def _phase(self, sign):
+        """e^{sign*i*m*phi0_r} [nrings_pad, nm], computed in-graph."""
+        m = jnp.arange(self.nm, dtype=self.dtype)
+        n = jnp.asarray(self.n_allrows, self.dtype)
+        sh = jnp.asarray(self.shift_allrows, self.dtype)
+        ang = (sign * jnp.pi) * sh[:, None] * m[None, :] / n[:, None]
+        return (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(self.cdtype)
+
+    def _gather_rows(self, maps, start, width, nvec=None):
+        """maps[..., npix] -> [..., rows, width] rows starting at start[r]."""
+        j = jnp.arange(width, dtype=jnp.int64)
+        idx = jnp.asarray(start)[:, None] + j[None, :]
+        if nvec is not None:
+            mask = j[None, :] < jnp.asarray(nvec, jnp.int64)[:, None]
+            idx = jnp.where(mask, idx, 0)
+        X = jnp.take(maps, idx.reshape(-1), axis=-1)
+        X = X.reshape(maps.shape[:-1] + idx.shape)
+        if nvec is not None:
+            X = jnp.where(mask, X, 0)
+        return X
+
     def analysis(self, maps):
         """RING map(s) [..., npix] -> G [..., nrings_pad, nm] complex.
 
@@ -150,8 +161,7 @@ class RingStage:
         out = jnp.zeros(lead + (self.nrings_pad, nm), dtype=self.cdtype)
 
         # equatorial belt: batched rfft + Hermitian unfold to m < nm
-        Xe = jnp.take(maps, self.eq_gather.reshape(-1), axis=-1)
-        Xe = Xe.reshape(lead + (self.ne_pad, P))
+        Xe = self._gather_rows(maps, self.eq_start, P)
         Fh = jnp.fft.rfft(Xe, axis=-1)              # [..., ne_pad, P/2+1]
         mi = np.arange(nm)
         lowm = mi <= P // 2
@@ -163,16 +173,14 @@ class RingStage:
 
         # cap buckets: CZT to n_max freqs, replicate by m mod n
         for b in self.buckets:
-            Xb = jnp.take(maps, b["gather"].reshape(-1), axis=-1)
-            Xb = Xb.reshape(lead + (b["rows_pad"], b["nmax"]))
-            Xb = jnp.where(np.asarray(b["mask"]), Xb, 0)
+            Xb = self._gather_rows(maps, b["start"], b["nmax"], b["n"])
             Xf = Xb.reshape((-1, b["rows_pad"], b["nmax"]))
-            Gs = []
-            for i in range(Xf.shape[0]):
-                Gs.append(czt(Xf[i], jnp.asarray(b["n"]), K=b["nmax"],
-                              L=b["L"], sign=-1, cdtype=self.cdtype))
+            Gs = [czt(Xf[i], jnp.asarray(b["n"]), K=b["nmax"], L=b["L"],
+                      sign=-1, cdtype=self.cdtype)
+                  for i in range(Xf.shape[0])]
             Gb = jnp.stack(Gs).reshape(lead + (b["rows_pad"], b["nmax"]))
-            mmod = np.mod(np.arange(nm)[None, :], b["n"][:, None]).astype(np.int32)
+            mmod = jnp.mod(jnp.arange(nm, dtype=jnp.int32)[None, :],
+                           jnp.asarray(b["n"], jnp.int32)[:, None])
             Gb = jnp.take_along_axis(
                 Gb, jnp.broadcast_to(mmod, lead + mmod.shape), axis=-1)
             out = out.at[..., b["rows_dev"][b["valid"]], :].set(
@@ -208,30 +216,30 @@ class RingStage:
             Yb = Y[..., b["rows_dev"], :]
             # fold m into m mod n bins (q is n-periodic in the synthesis sum)
             nmax = b["nmax"]
-            nreal = b["n"][b["valid"]]
+            nreal = np.asarray(b["n"])[b["valid"]]
             jmax = int(np.ceil(nm / int(nreal.min()))) if len(nreal) else 1
-            bidx = np.arange(nmax)[None, :, None]
-            jj = np.arange(jmax)[None, None, :]
-            src = bidx + jj * b["n"][:, None, None]          # [rows, nmax, jmax]
-            ok = (src < nm) & (bidx < b["n"][:, None, None])
-            srcc = np.where(ok, src, 0).astype(np.int32).reshape(b["rows_pad"], -1)
-            idxb = jnp.broadcast_to(jnp.asarray(srcc),
-                                    lead + (b["rows_pad"], nmax * jmax))
+            bidx = jnp.arange(nmax, dtype=jnp.int32)[None, :, None]
+            jj = jnp.arange(jmax, dtype=jnp.int32)[None, None, :]
+            nv = jnp.asarray(b["n"], jnp.int32)[:, None, None]
+            src = bidx + jj * nv
+            ok = (src < nm) & (bidx < nv)
+            srcc = jnp.where(ok, src, 0).reshape(b["rows_pad"], -1)
+            idxb = jnp.broadcast_to(srcc, lead + (b["rows_pad"], nmax * jmax))
             g = jnp.take_along_axis(Yb, idxb, axis=-1)
-            g = jnp.where(np.asarray(ok.reshape(b["rows_pad"], -1)), g, 0)
+            g = jnp.where(ok.reshape(b["rows_pad"], -1), g, 0)
             qf = jnp.sum(g.reshape(lead + (b["rows_pad"], nmax, jmax)), axis=-1)
-            # inverse DFT at the ring's own n points via CZT (+1 sign)
             qff = qf.reshape((-1, b["rows_pad"], nmax))
-            Xs = []
-            for i in range(qff.shape[0]):
-                Xs.append(czt(qff[i], jnp.asarray(b["n"]), K=nmax,
-                              L=b["L"], sign=+1, cdtype=self.cdtype))
+            Xs = [czt(qff[i], jnp.asarray(b["n"]), K=nmax, L=b["L"], sign=+1,
+                      cdtype=self.cdtype)
+                  for i in range(qff.shape[0])]
             Xb = jnp.real(jnp.stack(Xs)).reshape(lead + (b["rows_pad"], nmax))
             pieces.append(Xb.astype(self.dtype).reshape(lead + (-1,)))
 
         allv = jnp.concatenate(pieces, axis=-1)
-        return jnp.take(allv, self.map_src, axis=-1)
-
-    def _phase(self, sign):
-        ph = sign * self._phase_ang[:, : self.nm]
-        return jnp.asarray(np.cos(ph) + 1j * np.sin(ph), self.cdtype)
+        # map[p] = allv[piece_base[ring(p)] + offset(p)] with ring/offset
+        # computed in-graph (no O(npix) constant index table)
+        p = jnp.arange(self.npix, dtype=jnp.int64)
+        sp = jnp.asarray(self.startpix, jnp.int64)
+        r = jnp.searchsorted(sp, p, side="right") - 1
+        idx = jnp.asarray(self.piece_base)[r] + (p - sp[r])
+        return jnp.take(allv, idx, axis=-1)
