@@ -112,6 +112,22 @@ class Raytracer:
         self.current_plane = 0
         self.map_num = 0
         self.timings = []
+        # static sigma grid for the SPH deposit (ops/deposit.py): clamp range
+        # from the ray-grid floor to the first plane's angular scale
+        # (reference raytrace.c:425-450)
+        self.sph = None
+        if cfg.DepositScheme == "SPH":
+            from .ops.deposit import sph_sigma_grid
+
+            ray_pix = np.sqrt(4.0 * np.pi / hp.order2npix(cfg.rayOrder))
+            min_sl = MIN_SMOOTH_TO_RAY_RATIO * ray_pix
+            binL = cfg.maxComvDistance / cfg.NumLensPlanes
+            csl = cfg.ComvSmoothingScale if cfg.ComvSmoothingScale > 0 else binL / 10
+            max_sl = min(np.pi / 2, csl / (binL / 2.0))
+            max_sl = max(max_sl, 2 * min_sl)
+            sigmas = sph_sigma_grid(min_sl, max_sl, 8)
+            self.sph = tuple(float(s) for s in sigmas) + (
+                float(csl), float(min_sl), float(max_sl))
         # particle arrays are padded to bucket multiples so the jitted plane
         # step compiles once per bucket size, not once per plane
         self.part_bucket = 4096
@@ -218,6 +234,7 @@ class Raytracer:
             rays, maps = plane_step(
                 self.plan, self.tab, self.rays, pos_d, mass_d,
                 self.cfg.DepositScheme, self.cfg.BornApprx, with_maps, scal,
+                None, self.sph,
             )
         else:
             rays = empty_plane_step(self.cfg.BornApprx, self.rays, scal)

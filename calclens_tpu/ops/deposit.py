@@ -41,6 +41,58 @@ def deposit_cic(tab: jaxhp.InterpTables, pos, mass):
     return m
 
 
+def smoothing_lengths(pos, comv_smoothing_scale, min_sl, max_sl):
+    """Angular smoothing length per particle, clamped (reference
+    get_smoothing_lengths, partsmoothdens.c:14-81 + raytrace.c:425-450)."""
+    r = jnp.linalg.norm(pos, axis=-1)
+    sl = comv_smoothing_scale / jnp.maximum(r, 1e-12)
+    return jnp.clip(sl, min_sl, max_sl)
+
+
+def sph_sigma_grid(min_sl, max_sl, nbuckets=8):
+    """Static log-spaced bucket centers for the sigma-bucketed deposit."""
+    import numpy as _np
+
+    return _np.geomspace(min_sl, max_sl, nbuckets)
+
+
+def deposit_sph_bucketed(order: int, pos, mass, sl, sigmas, npix: int):
+    """SPH deposit, TPU formulation: instead of the reference's per-particle
+    query_disc scatter over a variable pixel set (shtpoissonsolve.c:187-291),
+    particles are bucketed by smoothing length onto B maps via NGP; the
+    bucket's spline-kernel smoothing is applied afterwards in harmonic space
+    (kernel_bl), which is exact for the bucket's sigma and TPU-friendly
+    (dense batched transforms instead of irregular scatters).
+
+    Returns [B, npix] maps.
+    """
+    theta, phi = jaxhp.vec2ang(pos)
+    pix = jaxhp.ang2pix_ring(theta, phi, order)
+    edges = jnp.sqrt(jnp.asarray(sigmas[1:] * sigmas[:-1]))
+    b = jnp.searchsorted(edges, sl)
+    B = len(sigmas)
+    m = jnp.zeros((B, npix), dtype=mass.dtype)
+    return m.at[b, pix].add(mass / MASS_SCALE)
+
+
+def kernel_bl(sigma, lmax):
+    """Legendre transform of the normalized Epanechnikov-like spline kernel
+    K(gamma) ~ max(1 - (gamma/sigma)^2, 0) (partsmoothdens.c:84-141):
+    b_l = 2 pi int K(g) P_l(cos g) sin g dg, normalized so b_0 = 1."""
+    import numpy as _np
+    from scipy.special import eval_legendre
+
+    ng = 512
+    g = _np.linspace(0.0, sigma, ng + 1)
+    k = _np.maximum(1.0 - (g / sigma) ** 2, 0.0)
+    x = _np.cos(g)
+    w = _np.gradient(g) * _np.sin(g) * k
+    ls = _np.arange(lmax + 1)
+    P = eval_legendre(ls[:, None], x[None, :])
+    bl = P @ w
+    return bl / bl[0]
+
+
 def scale_density(dens, densfact, backdens, pixarea, vacmask=None):
     """densfact/pixarea scaling and background subtraction
     (shtpoissonsolve.c:454-502).  vacmask marks pixels outside the cut-sky

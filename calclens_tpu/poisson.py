@@ -12,6 +12,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -46,15 +47,52 @@ def solve_potential(plan: SHTPlan, density):
     return FieldMaps(*T.alm2allmaps(plan, alm))
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def solve_potential_sph(plan: SHTPlan, densities, sph):
+    """sigma-bucketed maps [B, npix] -> FieldMaps; each bucket's alm gets its
+    spline-kernel window b_l(sigma_b) before the Poisson filter (the harmonic
+    form of the reference's real-space SPH deposit)."""
+    sigmas = sph
+    alm = 0.0
+    for b, sig in enumerate(sigmas):
+        bl = jnp.asarray(dep.kernel_bl(float(sig), plan.lmax), plan.dtype)
+        alm = alm + T.map2alm(plan, densities[b]) * bl[:, None]
+    ls = jnp.arange(plan.nl, dtype=plan.dtype)[:, None]
+    inv = jnp.where(ls > 0, -1.0 / jnp.maximum(ls * (ls + 1.0), 1.0), 0.0)
+    if plan.window_dev is not None:
+        inv = inv * plan.window_dev[:, None]
+    alm = alm * inv.astype(plan.dtype)
+    return FieldMaps(*T.alm2allmaps(plan, alm))
+
+
 def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
                       pos, mass, densfact, backdens, vacmask=None,
-                      scheme: str = "NGP", density=None):
+                      scheme: str = "NGP", density=None, sph=None):
     """Full solve: deposit + solve + interpolate onto rays.
 
     pos [N,3]/mass [N] are this plane's particles (device arrays); `density`
     may be passed instead for the UseHEALPixLensPlaneMaps path (raw mass per
-    pixel / MASS_SCALE, ring ordered).  Returns (rays', FieldMaps).
+    pixel / MASS_SCALE, ring ordered).  For scheme "SPH", sph is the static
+    tuple (sigma_grid..., comv_smoothing_scale, min_sl, max_sl).
+    Returns (rays', FieldMaps).
     """
+    pixarea = 4.0 * jnp.pi / plan.npix
+    if scheme == "SPH" and density is None:
+        *sigmas, csl, min_sl, max_sl = sph
+        sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
+        dens_b = dep.deposit_sph_bucketed(plan.order, pos, mass, sl,
+                                          np.asarray(sigmas), plan.npix)
+        dens_b = dep.scale_density(dens_b, densfact, 0.0, pixarea)
+        # backdens is a monopole shift (zeroed by the filter) except in
+        # cut-sky mode, where it applies to the summed map
+        if vacmask is not None:
+            dens_b = jnp.where(vacmask[None, :], 0.0, dens_b)
+            dens_b = dens_b.at[0].add(
+                jnp.where(vacmask, 0.0, -backdens * jnp.ones(plan.npix,
+                                                             dens_b.dtype)))
+        maps = solve_potential_sph(plan, dens_b, tuple(sigmas))
+        pot, grad, U = shear_interp(tab, maps, rays.n)
+        return apply_lensing_fields(rays, pot, grad, U), maps
     if density is None:
         if scheme == "NGP":
             density = dep.deposit_ngp(plan.order, pos, mass, plan.npix)
@@ -62,17 +100,16 @@ def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
             density = dep.deposit_cic(tab, pos, mass)
         else:
             raise NotImplementedError(f"deposit scheme {scheme}")
-    pixarea = 4.0 * jnp.pi / plan.npix
     density = dep.scale_density(density, densfact, backdens, pixarea, vacmask)
     maps = solve_potential(plan, density)
     pot, grad, U = shear_interp(tab, maps, rays.n)
     return apply_lensing_fields(rays, pot, grad, U), maps
 
 
-@partial(jax.jit, static_argnums=(0, 1, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 5, 6, 7, 10))
 def plane_step(plan: SHTPlan, tab: jaxhp.InterpTables, rays, pos, mass,
                scheme: str, born: bool, with_maps: bool,
-               scal: PlaneScalars, vacmask=None):
+               scal: PlaneScalars, vacmask=None, sph=None):
     """One fully-fused lens-plane step: zero per-plane fields, deposit + SHT
     Poisson solve + interpolate to rays, then propagate to the next plane.
 
@@ -84,7 +121,7 @@ def plane_step(plan: SHTPlan, tab: jaxhp.InterpTables, rays, pos, mass,
     rays = rp.zero_plane_fields(rays)
     rays, maps = sht_poisson_solve(
         plan, tab, rays, pos, mass, scal.densfact, scal.backdens,
-        vacmask=vacmask, scheme=scheme,
+        vacmask=vacmask, scheme=scheme, sph=sph,
     )
     rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)
     return rays, (maps if with_maps else None)
