@@ -150,8 +150,29 @@ class Raytracer:
         keep = (ra >= cfg.minRa) & (ra <= cfg.maxRa) & (dec >= cfg.minDec) & (dec <= cfg.maxDec)
         return nest[keep]
 
+    def vacuum_mask(self, buffer_deg=5.0):
+        """True at poissonOrder pixels outside the buffered ra/dec box: these
+        are zeroed instead of background-subtracted (the reference's
+        test_vaccell cut-sky handling, shtpoissonsolve.c:454-502).  None for
+        full sky."""
+        cfg = self.cfg
+        full_sky = (
+            cfg.minRa <= 0.0 and cfg.maxRa >= 360.0
+            and cfg.minDec <= -90.0 and cfg.maxDec >= 90.0
+        )
+        if full_sky:
+            return None
+        pix = np.arange(int(hp.order2npix(cfg.poissonOrder)))
+        theta, phi = hp.pix2ang_ring(pix, cfg.poissonOrder)
+        ra, dec = hp.ang2radec(theta, phi)
+        inside = ((ra >= cfg.minRa - buffer_deg) & (ra <= cfg.maxRa + buffer_deg)
+                  & (dec >= cfg.minDec - buffer_deg)
+                  & (dec <= cfg.maxDec + buffer_deg))
+        return jnp.asarray(~inside)
+
     def init_rays(self):
         cfg = self.cfg
+        self.vacmask = self.vacuum_mask()
         self.ray_nest = self.active_ray_pixels()
         vec = hp.pix2vec_nest(self.ray_nest, cfg.rayOrder)
         binL = cfg.maxComvDistance / cfg.NumLensPlanes
@@ -202,7 +223,8 @@ class Raytracer:
         """One plane: Poisson solve at planeRad then propagate to planeRadPlus1."""
         t0 = time.perf_counter()
         pp = plane_params(self.cfg, self.cosmo, plane_num)
-        if pos is None and not self.cfg.ThreeDPot:
+        if (pos is None and not self.cfg.ThreeDPot
+                and not self.cfg.UseHEALPixLensPlaneMaps):
             pos, mass = self.load_particles(plane_num)
         pos = pos if pos is not None else []
         mass = mass if mass is not None else []
@@ -214,6 +236,24 @@ class Raytracer:
             wpm2=jnp.asarray(pp.rad_minus1, self.dtype),
         )
         maps = None
+        vacmask = getattr(self, "vacmask", None)
+        if self.cfg.UseHEALPixLensPlaneMaps:
+            from .io import healpix_maps
+            from .ops.deposit import MASS_SCALE
+            from .poisson import plane_step_density
+
+            counts = healpix_maps.read_plane_map(
+                self.cfg.HEALPixLensPlaneMapPath,
+                self.cfg.HEALPixLensPlaneMapName, plane_num, self.plan.npix)
+            density = jnp.asarray(
+                counts * (self.cfg.partMass / MASS_SCALE), self.dtype)
+            rays, maps = plane_step_density(
+                self.plan, self.tab, self.rays, density,
+                self.cfg.BornApprx, with_maps, scal, vacmask)
+            self.rays = jax.block_until_ready(rays)
+            self.current_plane = plane_num + 1
+            self.timings.append((plane_num, time.perf_counter() - t0))
+            return maps
         if self.cfg.ThreeDPot:
             # 3D FFT potential path (THREEDPOT, fftpoissondriver.c:45)
             if not hasattr(self, "threedpot") or self.threedpot is None:
@@ -234,7 +274,7 @@ class Raytracer:
             rays, maps = plane_step(
                 self.plan, self.tab, self.rays, pos_d, mass_d,
                 self.cfg.DepositScheme, self.cfg.BornApprx, with_maps, scal,
-                None, self.sph,
+                vacmask, self.sph,
             )
         else:
             rays = empty_plane_step(self.cfg.BornApprx, self.rays, scal)

@@ -127,6 +127,22 @@ def plane_step(plan: SHTPlan, tab: jaxhp.InterpTables, rays, pos, mass,
     return rays, (maps if with_maps else None)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def plane_step_density(plan: SHTPlan, tab: jaxhp.InterpTables, rays, density,
+                       born: bool, with_maps: bool, scal: PlaneScalars,
+                       vacmask=None):
+    """Plane step from a precomputed surface-density map (the
+    UseHEALPixLensPlaneMaps path, shtpoissonsolve.c:336-436).  density is
+    mass per pixel / MASS_SCALE in RING order."""
+    rays = rp.zero_plane_fields(rays)
+    rays, maps = sht_poisson_solve(
+        plan, tab, rays, None, None, scal.densfact, scal.backdens,
+        vacmask=vacmask, density=density,
+    )
+    rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)
+    return rays, (maps if with_maps else None)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def empty_plane_step(born: bool, rays, scal: PlaneScalars):
     """Plane with no particles: zero fields and propagate only (the

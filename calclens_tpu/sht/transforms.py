@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -358,8 +359,8 @@ def alm2allmaps(plan: SHTPlan, alm):
     qth = unfold_pairs(plan, qN[1], qS[1])
     qthth = unfold_pairs(plan, qN[2], qS[2])
 
-    im = (1j * plan.m_f.astype(plan.dtype)).astype(plan.cdtype)[None, :]
-    m2 = (plan.m_f**2).astype(plan.dtype)[None, :]
+    im = (1j * np.asarray(plan.m_f, plan.dtype)).astype(plan.cdtype)[None, :]
+    m2 = np.asarray(plan.m_f**2, plan.dtype)[None, :]
     streams = jnp.stack([
         qphi,            # s0: phi
         qth,             # s1: d_theta
@@ -368,7 +369,9 @@ def alm2allmaps(plan: SHTPlan, alm):
         qth * im,        # s4: d_theta d_phi (raw, needs /sin)
         -(qphi * m2),    # s5: d_phi d_phi (raw, needs /sin^2)
     ])
-    s = synthesis_rings(plan, streams)  # [6, npix]
+    # sequence the six synthesis FFT pipelines: running them concurrently
+    # multiplies peak HBM by 6 (OOM at NSIDE >= 1024 on a 16 GB chip)
+    s = jax.lax.map(lambda Q: synthesis_rings(plan, Q[None])[0], streams)
 
     sth_pix = plan.rings_to_map(
         jnp.broadcast_to(plan.sth_ring[:, None], (plan.nrings_pad, plan.P))
