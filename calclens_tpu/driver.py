@@ -269,7 +269,25 @@ class Raytracer:
             self.current_plane = plane_num + 1
             self.timings.append((plane_num, time.perf_counter() - t0))
             return None
-        if len(pos):
+        if not self.cfg.SHTOnly and len(pos):
+            # multigrid-refined short-range force (non-SHTONLY mode)
+            from .poisson import plane_step_mg
+
+            if getattr(self, "mgsetup", None) is None:
+                from . import mgdriver
+                from .mg import choose_patch_n
+
+                cell = np.sqrt(4.0 * np.pi / hp.order2npix(self.cfg.bundleOrder))
+                n = choose_patch_n(4.0 * cell, cell / 16.0, n_min=64, n_max=256)
+                self.mgsetup = mgdriver.MGSetup(
+                    self.cfg.bundleOrder, n, self.cfg.rayOrder,
+                    dtype=self.dtype)
+            pos_d, mass_d = self._pad_particles(pos, mass)
+            rays = plane_step_mg(
+                self.plan, self.tab, self.mgsetup, self.rays,
+                jnp.asarray(self.ray_nest), pos_d, mass_d,
+                self.cfg.DepositScheme, self.cfg.BornApprx, scal, vacmask)
+        elif len(pos):
             pos_d, mass_d = self._pad_particles(pos, mass)
             rays, maps = plane_step(
                 self.plan, self.tab, self.rays, pos_d, mass_d,

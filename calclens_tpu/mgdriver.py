@@ -1,0 +1,253 @@
+"""Multigrid refinement driver (reference mgpoissonsolve.c:59-297).
+
+Non-SHTONLY mode: the spherical-harmonic solve supplies only the long-range
+potential map; each active bundle cell then gets a tangent-patch FAS solve
+(mg.py) whose Dirichlet boundary values and initial guess are interpolated
+from that map, and the rays take their deflection/shear from finite
+differences of the patch potential — the short-range force at resolution far
+beyond lmax.
+
+Batched TPU formulation: all C active patches solve together as [C, N, N];
+particle deposit scatters each particle into its cell's patch and the 8
+neighboring cells' patches (patches overlap, MGPATCH_SIZE_FAC = 4 cell
+widths); derivative extraction rotates the patch-basis gradient/Hessian back
+to the global (theta, phi) basis with exact 3-vector algebra
+(fill_uderivs_rays / rot_tangvectens analog, mgpoissonsolve.c:782-1346).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import mg
+from .healpix import core as hp
+from .healpix import jaxhp
+
+
+def cell_rotations(bundle_order):
+    """R[c] rotating cell c's center to (theta=pi/2, phi=0):
+    R = Ry(pi/2 - theta_c) @ Rz(-phi_c).  Host, [C, 3, 3]."""
+    npix = int(hp.order2npix(bundle_order))
+    nest = np.arange(npix)
+    theta, phi = hp.pix2ang_nest(nest, bundle_order)
+    ca, sa = np.cos(-phi), np.sin(-phi)
+    Rz = np.zeros((npix, 3, 3))
+    Rz[:, 0, 0] = ca
+    Rz[:, 0, 1] = -sa
+    Rz[:, 1, 0] = sa
+    Rz[:, 1, 1] = ca
+    Rz[:, 2, 2] = 1.0
+    b = np.pi / 2 - theta
+    cb, sb = np.cos(b), np.sin(b)
+    Ry = np.zeros((npix, 3, 3))
+    Ry[:, 0, 0] = cb
+    Ry[:, 0, 2] = sb
+    Ry[:, 1, 1] = 1.0
+    Ry[:, 2, 0] = -sb
+    Ry[:, 2, 2] = cb
+    return np.einsum("cij,cjk->cik", Ry, Rz)
+
+
+class MGSetup:
+    """Static per-run tables for the batched patch solve."""
+
+    def __init__(self, bundle_order, patch_n, ray_order=None, dtype=jnp.float32):
+        self.bundle_order = bundle_order
+        self.ray_order = ray_order
+        self.C = int(hp.order2npix(bundle_order))
+        cell_size = np.sqrt(4.0 * np.pi / self.C)
+        self.Lpatch = float(mg.MGPATCH_SIZE_FAC * cell_size)
+        self.levels = tuple(mg.build_levels(self.Lpatch, patch_n))
+        self.dtype = dtype
+        self.R = cell_rotations(bundle_order)              # [C, 3, 3]
+        self.neighbors = np.concatenate(
+            [np.arange(self.C)[:, None],
+             hp.neighbors_nest(np.arange(self.C), bundle_order)], axis=1)
+        self.neighbors = np.where(self.neighbors < 0,
+                                  self.neighbors[:, :1], self.neighbors)
+
+    def patch_coords(self, R_rows, vec):
+        """Rotate unit vectors into each listed patch frame -> fractional
+        grid indices (ti, pj) and validity mask."""
+        lev = self.levels[0]
+        v = jnp.einsum("...ij,...j->...i", R_rows, vec)
+        theta = jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(v[..., 1], v[..., 0])
+        ti = (theta - lev.thetaLoc) / lev.dL
+        pj = (phi - lev.phiLoc) / lev.dL
+        ok = (ti >= 0) & (ti < lev.N - 1) & (pj >= 0) & (pj < lev.N - 1)
+        return ti, pj, ok
+
+
+@partial(jax.jit, static_argnums=(0,))
+def deposit_patches(setup: MGSetup, pos, mass, densfact, backdens):
+    """NGP deposit of every particle into its own and neighboring patches,
+    scaled to the kappa source term (fill_rho_mggrid:246-255):
+      rho[i,j] = mass_in_cell / (dL * cosfacs_i) * densfact - backdens
+    """
+    lev = setup.levels[0]
+    N = lev.N
+    theta, phi = jaxhp.vec2ang(pos)
+    # cell via device RING ang2pix + a small [12*4^bo] ring->nest table
+    ring = jaxhp.ang2pix_ring(theta, phi, setup.bundle_order)
+    r2n = jnp.asarray(hp.ring2nest(np.arange(setup.C), setup.bundle_order),
+                      jnp.int32)
+    cell = r2n[ring]
+    cand = jnp.asarray(setup.neighbors, jnp.int32)[cell]      # [Np, 9]
+    Rrows = jnp.asarray(setup.R, pos.dtype)[cand]             # [Np, 9, 3, 3]
+    nhat = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    ti, pj, ok = setup.patch_coords(Rrows, nhat[:, None, :])
+    ii = jnp.clip(jnp.round(ti).astype(jnp.int32), 0, N - 1)
+    jj = jnp.clip(jnp.round(pj).astype(jnp.int32), 0, N - 1)
+    w = jnp.where(ok, mass[:, None], 0.0)
+    grid = jnp.zeros((setup.C, N, N), pos.dtype)
+    grid = grid.at[cand, ii, jj].add(w)
+    cosf = jnp.asarray(np.asarray(lev.cosfacs), pos.dtype)[None, :, None]
+    rho = grid / (lev.dL * cosf) * densfact - backdens
+    return rho
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def patch_centers_global(setup: MGSetup, li: int):
+    """Global unit vectors of every patch cell center [C, N, N, 3]."""
+    lev = setup.levels[li]
+    i = jnp.arange(lev.N)
+    th = i * lev.dL + lev.thetaLoc
+    ph = i * lev.dL + lev.phiLoc
+    sth, cth = jnp.sin(th), jnp.cos(th)
+    sph, cph = jnp.sin(ph), jnp.cos(ph)
+    v = jnp.stack([
+        jnp.outer(sth, cph), jnp.outer(sth, sph),
+        jnp.broadcast_to(cth[:, None], (lev.N, lev.N))], axis=-1)
+    R = jnp.asarray(setup.R)                                  # [C, 3, 3]
+    # global = R^T v_patch
+    return jnp.einsum("cji,xyj->cxyi", R, v)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def fill_u_from_map(setup: MGSetup, tab, potmap):
+    """Initial guess + Dirichlet BCs: interpolate the SHT potential map at
+    every patch cell center (fill_u_mggrid / fill_bcs_mggrid)."""
+    v = patch_centers_global(setup, 0)
+    theta = jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(v[..., 1], v[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    pix, wgt = jaxhp.get_interpol(tab, theta, phi)
+    return jnp.sum(potmap[pix] * wgt, axis=-1).astype(potmap.dtype)
+
+
+def solve_patches(setup: MGSetup, u0, rho, ncycles=10):
+    return mg.solve_fas(u0, rho, setup.levels, ncycles, 2, 2)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def interp_derivs_to_rays(setup: MGSetup, u, ray_vec, cell):
+    """Finite-difference derivatives of the patch potential at the rays,
+    rotated to the global (theta, phi) basis.  cell is the ray's NEST bundle
+    cell.  Returns (pot, grad [.,2], hess [.,2,2]) with the same conventions
+    as the SHT interpolation (alpha -= grad, U += hess)."""
+    lev = setup.levels[0]
+    N = lev.N
+    dL = lev.dL
+    R = jnp.asarray(setup.R, ray_vec.dtype)[cell]             # [Nr, 3, 3]
+    nhat = ray_vec / jnp.linalg.norm(ray_vec, axis=-1, keepdims=True)
+    ti, pj, ok = setup.patch_coords(R, nhat)
+
+    i0 = jnp.clip(jnp.floor(ti).astype(jnp.int32), 1, N - 3)
+    j0 = jnp.clip(jnp.floor(pj).astype(jnp.int32), 1, N - 3)
+    fx = ti - i0
+    fy = pj - j0
+
+    sc = jnp.asarray(np.asarray(lev.sin_c), ray_vec.dtype)
+
+    def sample(f):
+        # bilinear of field f: [C,N,N] at (cell, i0+fx, j0+fy)
+        def at(di, dj):
+            return f[cell, i0 + di, j0 + dj]
+        return ((1 - fx) * (1 - fy) * at(0, 0) + fx * (1 - fy) * at(1, 0)
+                + (1 - fx) * fy * at(0, 1) + fx * fy * at(1, 1))
+
+    # central differences on the patch (getderiv_mggrid_*)
+    up = jnp.roll(u, 1, axis=-2)
+    dn = jnp.roll(u, -1, axis=-2)
+    lf = jnp.roll(u, 1, axis=-1)
+    rt = jnp.roll(u, -1, axis=-1)
+    gt_f = (dn - up) / (2 * dL)                       # d/dtheta
+    gp_f = (rt - lf) / (2 * dL) / sc[None, :, None]   # (1/sin) d/dphi
+    gtt_f = (up + dn - 2 * u) / (dL * dL)
+    gpp_raw = (lf + rt - 2 * u) / (dL * dL) / (sc ** 2)[None, :, None]
+    gtp_raw = (jnp.roll(rt, -1, axis=-2) - jnp.roll(lf, -1, axis=-2)
+               - jnp.roll(rt, 1, axis=-2) + jnp.roll(lf, 1, axis=-2)
+               ) / (4 * dL * dL) / sc[None, :, None]
+    cotv = jnp.asarray(np.cos(np.arange(N) * lev.dL + lev.thetaLoc)
+                       / np.sin(np.arange(N) * lev.dL + lev.thetaLoc), u.dtype)
+    # covariant components (same corrections as alm2allmaps outputs)
+    gtp_f = gtp_raw - cotv[None, :, None] * gp_f
+    gpp_f = gpp_raw + cotv[None, :, None] * gt_f
+
+    pot = sample(u)
+    gt = sample(gt_f)
+    gp = sample(gp_f)
+    gtt = sample(gtt_f)
+    gtp = sample(gtp_f)
+    gpp = sample(gpp_f)
+
+    # patch-frame basis vectors at the ray, expressed globally
+    vpatch = jnp.einsum("nij,nj->ni", R, nhat)
+    tpatch, ppatch = _tangent_basis(vpatch)
+    Rt = jnp.swapaxes(R, -1, -2)
+    t_g = jnp.einsum("nij,nj->ni", Rt, tpatch)
+    p_g = jnp.einsum("nij,nj->ni", Rt, ppatch)
+    tg, pg = _tangent_basis(nhat)
+    # B[a,b] = global basis a . rotated patch basis b
+    B00 = jnp.sum(tg * t_g, -1)
+    B01 = jnp.sum(tg * p_g, -1)
+    B10 = jnp.sum(pg * t_g, -1)
+    B11 = jnp.sum(pg * p_g, -1)
+
+    g0 = B00 * gt + B01 * gp
+    g1 = B10 * gt + B11 * gp
+    grad = jnp.stack([g0, g1], axis=-1)
+
+    H = jnp.stack([jnp.stack([gtt, gtp], -1),
+                   jnp.stack([gtp, gpp], -1)], -2)
+    B = jnp.stack([jnp.stack([B00, B01], -1),
+                   jnp.stack([B10, B11], -1)], -2)
+    hess = B @ H @ jnp.swapaxes(B, -1, -2)
+    okf = ok.astype(u.dtype)
+    return (pot * okf, grad * okf[:, None], hess * okf[:, None, None])
+
+
+def _tangent_basis(nhat):
+    npv = jnp.sqrt(nhat[..., 0] ** 2 + nhat[..., 1] ** 2)
+    npv = jnp.maximum(npv, 1e-30)
+    phat = jnp.stack([-nhat[..., 1] / npv, nhat[..., 0] / npv,
+                      jnp.zeros_like(npv)], -1)
+    that = jnp.stack([nhat[..., 2] * nhat[..., 0] / npv,
+                      nhat[..., 2] * nhat[..., 1] / npv,
+                      -(nhat[..., 0] ** 2 + nhat[..., 1] ** 2) / npv], -1)
+    return that, phat
+
+
+def mg_refine(setup: MGSetup, tab, rays, ray_nest, ray_order, potmap,
+              pos, mass, densfact, backdens, ncycles=10):
+    """Full refinement: deposit, BC fill, batched FAS solve, ray update.
+
+    potmap: RING-ordered SHT potential map (long range / boundary data).
+    Sets phi and ADDS alpha/U from the patch solution (the rays enter with
+    zeroed per-plane fields in non-SHTONLY mode)."""
+    rho = deposit_patches(setup, pos, mass, densfact, backdens)
+    u0 = fill_u_from_map(setup, tab, potmap)
+    u = solve_patches(setup, u0, rho, ncycles)
+    shift = 2 * (ray_order - setup.bundle_order)
+    cell_nest = (jnp.asarray(ray_nest) >> shift).astype(jnp.int32)
+    pot, grad, hess = interp_derivs_to_rays(setup, u, rays.n, cell_nest)
+    return rays._replace(
+        phi=pot.astype(rays.phi.dtype),
+        alpha=rays.alpha - grad.astype(rays.alpha.dtype),
+        U=rays.U + hess.astype(rays.U.dtype),
+    )

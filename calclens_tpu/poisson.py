@@ -143,6 +143,37 @@ def plane_step_density(plan: SHTPlan, tab: jaxhp.InterpTables, rays, density,
     return rays, (maps if with_maps else None)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 7, 8))
+def plane_step_mg(plan: SHTPlan, tab: jaxhp.InterpTables, mgsetup, rays,
+                  ray_nest, pos, mass, scheme: str, born: bool,
+                  scal: PlaneScalars, vacmask=None):
+    """Non-SHTONLY plane step: SHT solve for the long-range potential MAP
+    only, then batched tangent-patch multigrid refinement supplies the rays'
+    deflections/shear from finite differences of the patch potential
+    (reference poissondrivers.c:14-80 + mgpoissonsolve.c)."""
+    from . import mgdriver
+
+    rays = rp.zero_plane_fields(rays)
+    if scheme == "CIC":
+        density = dep.deposit_cic(tab, pos, mass)
+    else:
+        density = dep.deposit_ngp(plan.order, pos, mass, plan.npix)
+    pixarea = 4.0 * jnp.pi / plan.npix
+    density = dep.scale_density(density, scal.densfact, scal.backdens,
+                                pixarea, vacmask)
+    alm = T.map2alm(plan, density)
+    ls = jnp.arange(plan.nl, dtype=plan.dtype)[:, None]
+    inv = jnp.where(ls > 0, -1.0 / jnp.maximum(ls * (ls + 1.0), 1.0), 0.0)
+    if plan.window_dev is not None:
+        inv = inv * plan.window_dev[:, None]
+    potmap = T.alm2map(plan, alm * inv.astype(plan.dtype))
+    rays = mgdriver.mg_refine(
+        mgsetup, tab, rays, ray_nest, mgsetup.ray_order, potmap,
+        pos, mass, scal.densfact, scal.backdens)
+    rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)
+    return rays
+
+
 @partial(jax.jit, static_argnums=(0,))
 def empty_plane_step(born: bool, rays, scal: PlaneScalars):
     """Plane with no particles: zero fields and propagate only (the

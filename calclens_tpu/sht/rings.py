@@ -199,16 +199,20 @@ class RingStage:
         # equatorial: Hermitian half-spectrum then irfft.  Modes with
         # m > P/2 alias: Re[a_m e^{2pi i m p/P}] = Re[conj(a_m) e^{2pi i (P-m) p/P}]
         Ye = Y[..., self.eq_rows_pad, :]
-        nlo = min(nm, P // 2 + 1)
-        half = jnp.zeros(lead + (self.ne_pad, P // 2 + 1), dtype=Y.dtype)
-        low = jnp.concatenate([Ye[..., :1], 0.5 * Ye[..., 1:nlo]], axis=-1)
-        if nlo == P // 2 + 1:
-            # irfft does not double the Nyquist bin: keep a_{P/2} whole
-            low = low.at[..., -1].set(Ye[..., P // 2])
-        half = half.at[..., :nlo].set(low)
-        if nm > P // 2 + 1:
-            hi_m = np.arange(P // 2 + 1, nm)
-            half = half.at[..., P - hi_m].add(0.5 * jnp.conj(Ye[..., hi_m]))
+        # gather-only Hermitian half-spectrum build (scatter .at[].add is
+        # serialized on TPU): half[k] = direct(k) + 0.5 conj(a_{P-k})
+        k = np.arange(P // 2 + 1)
+        direct_ok = k < nm
+        kd = np.where(direct_ok, k, 0)
+        fac = np.where(k == 0, 1.0, np.where(k == P // 2, 1.0, 0.5))
+        direct = jnp.take(Ye, kd, axis=-1) * jnp.asarray(
+            fac * direct_ok, np.float32)
+        ksrc = P - k
+        fold_ok = (ksrc < nm) & (k > 0) & (k != P // 2)
+        ks = np.where(fold_ok, ksrc, 0)
+        folded = 0.5 * jnp.conj(jnp.take(Ye, ks, axis=-1)) * jnp.asarray(
+            fold_ok.astype(np.float32))
+        half = direct + folded
         Xe = jnp.fft.irfft(half, n=P, axis=-1) * P
         pieces.append(Xe.astype(self.dtype).reshape(lead + (-1,)))
 

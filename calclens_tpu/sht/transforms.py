@@ -369,9 +369,11 @@ def alm2allmaps(plan: SHTPlan, alm):
         qth * im,        # s4: d_theta d_phi (raw, needs /sin)
         -(qphi * m2),    # s5: d_phi d_phi (raw, needs /sin^2)
     ])
-    # sequence the six synthesis FFT pipelines: running them concurrently
-    # multiplies peak HBM by 6 (OOM at NSIDE >= 1024 on a 16 GB chip)
-    s = jax.lax.map(lambda Q: synthesis_rings(plan, Q[None])[0], streams)
+    # chunk the six synthesis FFT pipelines in pairs: all six concurrently
+    # multiplies peak HBM ~6x (OOM at NSIDE >= 1024 on a 16 GB chip), while
+    # lax.map serializes so hard it is ~10x slower
+    s = jnp.concatenate([synthesis_rings(plan, streams[i: i + 2])
+                         for i in range(0, 6, 2)])
 
     sth_pix = plan.rings_to_map(
         jnp.broadcast_to(plan.sth_ring[:, None], (plan.nrings_pad, plan.P))
