@@ -92,6 +92,8 @@ class RayTraceConfig:
     NFWHaloTest: bool = False         # NFWHALOTEST
     RayOutputFormat: str = "fits"     # USE_FITS_RAYOUT vs binary
 
+    DebugIO: bool = False             # DEBUG_IO map dumps per plane
+
     # --- TPU runtime extras (no reference analog) ---
     Precision: str = "f32"            # f32 | f64 device compute dtype
     MeshShape: str = ""               # e.g. "8" or "4x2" for the SHT mesh

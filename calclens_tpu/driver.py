@@ -221,6 +221,8 @@ class Raytracer:
 
     def step(self, plane_num: int, pos=None, mass=None, with_maps: bool = False):
         """One plane: Poisson solve at planeRad then propagate to planeRadPlus1."""
+        if self.cfg.DebugIO and self.cfg.OutputPath:
+            with_maps = True
         t0 = time.perf_counter()
         pp = plane_params(self.cfg, self.cosmo, plane_num)
         if (pos is None and not self.cfg.ThreeDPot
@@ -299,6 +301,11 @@ class Raytracer:
         self.rays = jax.block_until_ready(rays)
         self.current_plane = plane_num + 1
         self.timings.append((plane_num, time.perf_counter() - t0))
+        if maps is not None and self.cfg.DebugIO and self.cfg.OutputPath:
+            from . import maps as lm
+
+            lm.write_debug_field_maps(maps, self.cfg.poissonOrder,
+                                      self.cfg.OutputPath, plane_num)
         return maps
 
     # ------------------------------------------------------------------

@@ -134,15 +134,32 @@ def write_lens_map_fits(accum: LensMapAccum, nside, filename):
     ])
 
 
-def write_single_map_fits(signal, nside, filename):
+def write_single_map_fits(signal, nside, filename, ordering="NESTED"):
     """HEALPix-convention single-column SIGNAL map
     (writeSingleFITSHEALPixLensMap)."""
     rec = np.zeros(12 * nside * nside, dtype=np.dtype([("SIGNAL", "<f4")]))
     rec["SIGNAL"] = np.asarray(signal, np.float32)
+    hdr = _healpix_header(nside)
+    hdr["ORDERING"] = (ordering, "Pixel ordering scheme, either RING or NESTED")
     fits.write_fits(filename, [
         fits.image_hdu(np.zeros(0, np.int16)),
-        fits.bintable_hdu(rec, name="BINTABLE", header=_healpix_header(nside)),
+        fits.bintable_hdu(rec, name="BINTABLE", header=hdr),
     ])
+
+
+def write_debug_field_maps(field_maps, order, output_path, plane_num):
+    """DEBUG_IO analog (shtpoissonsolve.c:584-604): dump the potential and
+    its five covariant derivative maps per plane as RING-ordered FITS."""
+    import os
+
+    os.makedirs(output_path, exist_ok=True)
+    names = ("pot", "dtheta", "dphi", "dthetatheta", "dthetaphi", "dphiphi")
+    paths = []
+    for name, m in zip(names, field_maps):
+        p = os.path.join(output_path, f"debug_{name}_{plane_num:04d}.fits")
+        write_single_map_fits(np.asarray(m), 1 << order, p, ordering="RING")
+        paths.append(p)
+    return paths
 
 
 def convergence_from_accum(accum: LensMapAccum):
