@@ -43,7 +43,11 @@ class RingStage:
     """
 
     def __init__(self, order, nm, nrings_pad, dtype=jnp.float32,
-                 min_bucket_n=64):
+                 min_bucket_n=None, max_buckets=3):
+        # TPU FFT calls carry a large fixed overhead: cap the number of
+        # octave buckets (deeper octaves save FLOPs but lose to per-call cost)
+        if min_bucket_n is None:
+            min_bucket_n = max(64, (2 << order) >> (max_buckets - 1))
         self.order = order
         self.nside = nside = 1 << order
         self.P = P = 4 * nside
@@ -171,14 +175,17 @@ class RingStage:
         out = out.at[..., self.eq_rows_pad[self.eq_valid], :].set(
             Ge[..., self.eq_valid, :])
 
-        # cap buckets: CZT to n_max freqs, replicate by m mod n
+        # cap buckets: CZT to n_max freqs, replicate by m mod n.  Leading
+        # (stream) dims are folded into the czt row axis: one big batched FFT
+        # instead of per-stream calls.
+        nlead = int(np.prod(lead)) if lead else 1
         for b in self.buckets:
             Xb = self._gather_rows(maps, b["start"], b["nmax"], b["n"])
-            Xf = Xb.reshape((-1, b["rows_pad"], b["nmax"]))
-            Gs = [czt(Xf[i], jnp.asarray(b["n"]), K=b["nmax"], L=b["L"],
-                      sign=-1, cdtype=self.cdtype)
-                  for i in range(Xf.shape[0])]
-            Gb = jnp.stack(Gs).reshape(lead + (b["rows_pad"], b["nmax"]))
+            Xf = Xb.reshape((nlead * b["rows_pad"], b["nmax"]))
+            nrow = jnp.tile(jnp.asarray(b["n"]), nlead)
+            Gb = czt(Xf, nrow, K=b["nmax"], L=b["L"], sign=-1,
+                     cdtype=self.cdtype)
+            Gb = Gb.reshape(lead + (b["rows_pad"], b["nmax"]))
             mmod = jnp.mod(jnp.arange(nm, dtype=jnp.int32)[None, :],
                            jnp.asarray(b["n"], jnp.int32)[:, None])
             Gb = jnp.take_along_axis(
@@ -232,11 +239,12 @@ class RingStage:
             g = jnp.take_along_axis(Yb, idxb, axis=-1)
             g = jnp.where(ok.reshape(b["rows_pad"], -1), g, 0)
             qf = jnp.sum(g.reshape(lead + (b["rows_pad"], nmax, jmax)), axis=-1)
-            qff = qf.reshape((-1, b["rows_pad"], nmax))
-            Xs = [czt(qff[i], jnp.asarray(b["n"]), K=nmax, L=b["L"], sign=+1,
-                      cdtype=self.cdtype)
-                  for i in range(qff.shape[0])]
-            Xb = jnp.real(jnp.stack(Xs)).reshape(lead + (b["rows_pad"], nmax))
+            nlead = int(np.prod(lead)) if lead else 1
+            qff = qf.reshape((nlead * b["rows_pad"], nmax))
+            nrow = jnp.tile(jnp.asarray(b["n"]), nlead)
+            Xb = jnp.real(czt(qff, nrow, K=nmax, L=b["L"], sign=+1,
+                              cdtype=self.cdtype))
+            Xb = Xb.reshape(lead + (b["rows_pad"], nmax))
             pieces.append(Xb.astype(self.dtype).reshape(lead + (-1,)))
 
         allv = jnp.concatenate(pieces, axis=-1)

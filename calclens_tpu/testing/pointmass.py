@@ -93,3 +93,89 @@ def shear_tangential(gamma, q, w_lens, w_source):
     w_source (small-angle, single plane)."""
     f = (w_source - w_lens) / w_source
     return f * alpha_smallangle(gamma, q) / gamma
+
+
+# ----------------------------------------------------------------------------
+# NFW halo test (reference make_lensplanes_pointmass_test.c:247-367,
+# NFWHALOTEST branch): Monte-Carlo-sampled NFW halo + analytic deflection
+# ----------------------------------------------------------------------------
+
+def nfw_rho(r, r200, conc, overdens=200.0):
+    """3D NFW profile normalized so the mean density within r200 equals
+    overdens (threedNFWprof)."""
+    rs = r200 / conc
+    x = r / rs
+    mu = np.log(1.0 + conc) - conc / (1.0 + conc)
+    rho_s = overdens / 3.0 * conc**3 / mu
+    return rho_s / (x * (1.0 + x) ** 2)
+
+
+def nfw_mass_2d(R, r200, conc, m200):
+    """Projected mass inside transverse radius R of an (untruncated) NFW
+    halo (Wright & Brainerd 2000), for the analytic bend angle."""
+    rs = r200 / conc
+    mu = np.log(1.0 + conc) - conc / (1.0 + conc)
+    m_s = m200 / mu  # 4 pi rho_s rs^3
+    x = np.atleast_1d(R / rs)
+    out = np.empty_like(x)
+    lo = x < 1.0
+    hi = x > 1.0
+    out[lo] = np.log(x[lo] / 2.0) + np.arccosh(1.0 / x[lo]) / np.sqrt(1.0 - x[lo] ** 2)
+    out[hi] = np.log(x[hi] / 2.0) + np.arccos(1.0 / x[hi]) / np.sqrt(x[hi] ** 2 - 1.0)
+    out[~lo & ~hi] = 1.0 + np.log(0.5)
+    return m_s * out
+
+
+def sample_nfw(rng, n, r200, conc, rmax=None):
+    """Rejection-sample radii from rho(r) r^2 (NFW_ptgen), isotropic angles.
+    Returns offsets [n, 3] in the same units as r200."""
+    rs = r200 / conc
+    rmax = rmax if rmax is not None else 3.0 * r200
+    fmax = nfw_rho(rs, r200, conc) * rs * rs
+    out = np.empty(n)
+    got = 0
+    while got < n:
+        r = rng.uniform(0.0, rmax, size=2 * (n - got))
+        y = rng.uniform(0.0, fmax, size=len(r))
+        keep = r[y < nfw_rho(np.maximum(r, 1e-6 * rs), r200, conc) * r * r]
+        take = keep[: n - got]
+        out[got: got + len(take)] = take
+        got += len(take)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v * out[:, None]
+
+
+def make_nfw_planes(cfg: RayTraceConfig, n_parts=200000, conc=5.0,
+                    overdens=200.0, seed=13):
+    """Write plane files containing a Monte-Carlo NFW halo of total mass
+    cfg.partMass (M200) at (raPointMass, decPointMass, radPointMass).
+    Returns (center unit vector, plane number, r200)."""
+    os.makedirs(cfg.LensPlanePath, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    m200 = cfg.partMass
+    r200 = (3.0 * m200 / (4.0 * np.pi * overdens * RHO_CRIT * cfg.OmegaM)) ** (1.0 / 3.0)
+    theta, phi = hp.radec2ang(cfg.raPointMass, cfg.decPointMass)
+    vec = hp.ang2vec(theta, phi)
+    center = vec * cfg.radPointMass
+    offs = sample_nfw(rng, n_parts, r200, conc, rmax=r200)
+    pos = center[None, :] + offs
+    # particle mass: the sampled (truncated at r200) mass equals M200
+    mass = np.full(n_parts, m200 / n_parts)
+
+    binL = cfg.maxComvDistance / cfg.NumLensPlanes
+    plane_of = (np.linalg.norm(pos, axis=1) / binL).astype(np.int64)
+    for p in range(cfg.NumLensPlanes):
+        fn = lensplanes.plane_filename(cfg.LensPlanePath, cfg.LensPlaneName, p)
+        sel = plane_of == p
+        lensplanes.write_plane(fn, cfg.SHTOrder, pos[sel], mass[sel])
+    return vec, min(int(cfg.radPointMass / binL), cfg.NumLensPlanes - 1), r200
+
+
+def alpha_nfw(gamma, cfg, cosmo, chi_lens, r200, conc, m200):
+    """Analytic NFW bend angle at angular radius gamma (small-angle):
+    alpha = 4 G M2D(R) (1+z) / (c^2 R) with R = chi * gamma."""
+    z = 1.0 / cosmo.acomvdist(chi_lens) - 1.0
+    R = chi_lens * np.asarray(gamma)
+    m2d = nfw_mass_2d(R, r200, conc, m200)
+    return 4.0 * G_OVER_C2 * m2d * (1.0 + z) / (chi_lens * np.asarray(gamma))
