@@ -50,6 +50,7 @@ class RayTraceConfig:
 
     # SHT
     SHTOrder: int = 7
+    LMax: int = -1                    # band limit; -1 = 3*nside - 1
     HEALPixRingWeightPath: str = ""
     HEALPixWindowFunctionPath: str = ""
 

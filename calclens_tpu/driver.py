@@ -86,7 +86,7 @@ class Raytracer:
         self.cfg = cfg
         self.dtype = dtype or (jnp.float64 if cfg.Precision == "f64" else jnp.float32)
         self.cosmo = Cosmology(cfg.OmegaM)
-        lmax = 3 * (1 << cfg.poissonOrder) - 1
+        lmax = cfg.LMax if cfg.LMax > 0 else 3 * (1 << cfg.poissonOrder) - 1
         window = None
         if cfg.SmoothingBeamFWHM > 0.0:
             window = gauss_beam(cfg.SmoothingBeamFWHM, lmax)
@@ -104,7 +104,9 @@ class Raytracer:
             ring_weights = read_ring_weights(cfg.HEALPixRingWeightPath,
                                              cfg.poissonOrder)
         self.mesh = mesh
-        self.plan = SHTPlan(cfg.poissonOrder, dtype=self.dtype, window=window,
+        self.plan = SHTPlan(cfg.poissonOrder,
+                            lmax=cfg.LMax if cfg.LMax > 0 else None,
+                            dtype=self.dtype, window=window,
                             ring_weights=ring_weights, mesh=mesh)
         self.tab = jaxhp.InterpTables(cfg.poissonOrder, dtype=self.dtype)
         self.rays = None

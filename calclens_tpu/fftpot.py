@@ -264,3 +264,30 @@ class ThreeDPotDriver:
             rays, grid, nfft, nint,
             jnp.asarray(L, rays.n.dtype), jnp.asarray(plane_rad, rays.n.dtype),
             jnp.asarray(binL, rays.n.dtype))
+
+
+def snapranges_main(argv=None):
+    """snapranges3Dpot analog: print '#plane snapshot rmin rmax' for a config
+    (reference snapranges3Dpot/main.c:41-70)."""
+    import sys
+
+    from .config import read_config
+    from .cosmology import Cosmology
+
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = read_config(argv[0])
+    cosmo = Cosmology(cfg.OmegaM)
+    snaps = read_snap_list(cfg.ThreeDPotSnapList, cosmo,
+                           cfg.LengthConvFact if cfg.LengthConvFact > 0 else 1.0)
+    binL = cfg.maxComvDistance / cfg.NumLensPlanes
+    print("#plane snapshot rmin rmax")
+    for p in range(cfg.NumLensPlanes):
+        i = nearest_snap(snaps, p * binL + binL / 2.0)
+        print(f"{p} {snaps[i]['fname']} {p * binL:.3f} {(p + 1) * binL:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(snapranges_main())

@@ -43,11 +43,7 @@ class RingStage:
     """
 
     def __init__(self, order, nm, nrings_pad, dtype=jnp.float32,
-                 min_bucket_n=None, max_buckets=3):
-        # TPU FFT calls carry a large fixed overhead: cap the number of
-        # octave buckets (deeper octaves save FLOPs but lose to per-call cost)
-        if min_bucket_n is None:
-            min_bucket_n = max(64, (2 << order) >> (max_buckets - 1))
+                 min_bucket_n=64):
         self.order = order
         self.nside = nside = 1 << order
         self.P = P = 4 * nside

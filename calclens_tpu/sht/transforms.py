@@ -67,11 +67,12 @@ def _cst(plan, x, spec_name):
 # ----------------------------------------------------------------------------
 
 def _ring_phase(plan: SHTPlan, sign):
-    """exp(sign * i * m * phi0_r): [nrings_pad, nm] complex."""
+    """exp(sign * i * m * phi0_r): [nrings_pad, nm] complex (in-graph — a
+    literal constant this size would bloat the compiled program)."""
     # phi0 = shift * pi / n  ->  exponent = sign * pi * (m * shift mod 2n) / n
-    m = plan.m_int[None, :]
-    n = plan.n_dev[:, None]
-    t = (m * plan.shift_dev[:, None]) % (2 * n)
+    m = jnp.asarray(plan.m_int)[None, :]
+    n = jnp.asarray(plan.n_dev)[:, None]
+    t = (m * jnp.asarray(plan.shift_dev)[:, None]) % (2 * n)
     rdtype = plan.dtype
     ph = (jnp.pi * sign) * (t.astype(rdtype) / n.astype(rdtype))
     return (jnp.cos(ph) + 1j * jnp.sin(ph)).astype(plan.cdtype)
@@ -112,17 +113,22 @@ def synthesis_rings(plan: SHTPlan, Q):
     """q_m per ring [..., nrings_pad, nm] -> RING map(s) [..., npix].
 
     map(r,p) = Re sum_m (2 - delta_m0) q_m e^{i m phi_rp}
+
+    Uses the uniform chirp-Z over all rings: one CZT shape means the chirp
+    FFT is CSE'd across streams and only a few large batched FFTs run — the
+    bucketed v2 stage wins for analysis but loses here to TPU per-FFT-call
+    overhead (set plan.use_rings_v2_synthesis to force v2).
     """
-    if getattr(plan, "use_rings_v2", True):
+    if getattr(plan, "use_rings_v2_synthesis", False):
         return _ring_stage(plan).synthesis(Q)
-    wfold = jnp.where(plan.m_int == 0, 1.0, 2.0).astype(plan.dtype)
+    wfold = jnp.where(jnp.asarray(plan.m_int) == 0, 1.0, 2.0).astype(plan.dtype)
     Y = Q * wfold[None, :] * _ring_phase(plan, +1)
     lead = Y.shape[:-2]
     Yf = Y.reshape((-1,) + Y.shape[-2:])
     out = []
     for i in range(Yf.shape[0]):
-        X = czt_blocked(Yf[i], plan.n_dev, K=plan.P, L=plan.L, sign=+1,
-                        cdtype=plan.cdtype, block=plan.ring_block)
+        X = czt_blocked(Yf[i], jnp.asarray(plan.n_dev), K=plan.P, L=plan.L,
+                        sign=+1, cdtype=plan.cdtype, block=plan.ring_block)
         out.append(plan.rings_to_map(jnp.real(X).astype(plan.dtype)))
     res = jnp.stack(out, axis=0)
     return res.reshape(lead + res.shape[-1:])
