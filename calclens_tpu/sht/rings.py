@@ -191,6 +191,71 @@ class RingStage:
 
         return out * self._phase(-1)
 
+    def synthesis_hybrid(self, Q):
+        """Q [..., nrings_pad, nm] -> RING map(s) [..., npix] (real).
+
+        Equatorial belt via irfft (cheap); ALL cap rings through one no-fold
+        chirp-Z straight over the nm input modes (K = max cap length,
+        L = 2 * P): half the uniform path's rows, none of the per-bucket FFT
+        call overhead, no fold-depth blowup for tiny rings."""
+        nm, P = self.nm, self.P
+        lead = Q.shape[:-2]
+        wfold = np.where(np.arange(nm) == 0, 1.0, 2.0)
+        Y = Q * jnp.asarray(wfold, self.dtype) * self._phase(+1)
+
+        # equator (same as synthesis())
+        Ye = Y[..., self.eq_rows_pad, :]
+        k = np.arange(P // 2 + 1)
+        direct_ok = k < nm
+        kd = np.where(direct_ok, k, 0)
+        fac = np.where(k == 0, 1.0, np.where(k == P // 2, 1.0, 0.5))
+        direct = jnp.take(Ye, kd, axis=-1) * jnp.asarray(
+            fac * direct_ok, np.float32)
+        ksrc = P - k
+        fold_ok = (ksrc < nm) & (k > 0) & (k != P // 2)
+        ks = np.where(fold_ok, ksrc, 0)
+        folded = 0.5 * jnp.conj(jnp.take(Ye, ks, axis=-1)) * jnp.asarray(
+            fold_ok.astype(np.float32))
+        Xe = (jnp.fft.irfft(direct + folded, n=P, axis=-1) * P).astype(self.dtype)
+
+        # all caps in one chirp-Z over the full nm input modes
+        cap_rows = np.concatenate([b["rows"] for b in self.buckets]) \
+            if self.buckets else np.zeros(0, np.int64)
+        cap_rows = np.sort(cap_rows)
+        ncap = len(cap_rows)
+        ncap_pad = _pad_rows(max(ncap, 8))
+        rows_dev = np.concatenate(
+            [cap_rows, np.full(ncap_pad - ncap, self.nrings_pad - 1)])
+        nvec = np.full(ncap_pad, P, np.int32)
+        nvec[:ncap] = self.ringpix[cap_rows]
+        start = np.zeros(ncap_pad, np.int64)
+        start[:ncap] = self.startpix[cap_rows]
+        nmax = int(nvec[:ncap].max()) if ncap else 4
+        Lc = 2 * P  # >= nm + nmax - 1 = 7*nside - 5
+
+        Yc = Y[..., rows_dev, :]
+        Yf = Yc.reshape((-1, ncap_pad, nm))
+        Xs = [czt(Yf[i], jnp.asarray(nvec), K=nmax, L=Lc, sign=+1,
+                  cdtype=self.cdtype)
+              for i in range(Yf.shape[0])]
+        Xc = jnp.real(jnp.stack(Xs)).reshape(lead + (ncap_pad, nmax)
+                                             ).astype(self.dtype)
+
+        # assemble via one gather (in-graph ring decode)
+        allv = jnp.concatenate(
+            [Xe.reshape(lead + (-1,)), Xc.reshape(lead + (-1,))], axis=-1)
+        base = np.zeros(self.nrings, np.int64)
+        for kk, r in enumerate(self.eq_rows):
+            base[r] = kk * P
+        off = self.ne_pad * P
+        for kk, r in enumerate(cap_rows):
+            base[r] = off + kk * nmax
+        p = jnp.arange(self.npix, dtype=jnp.int64)
+        sp = jnp.asarray(self.startpix, jnp.int64)
+        r = jnp.searchsorted(sp, p, side="right") - 1
+        idx = jnp.asarray(base)[r] + (p - sp[r])
+        return jnp.take(allv, idx, axis=-1)
+
     def synthesis(self, Q):
         """Q [..., nrings_pad, nm] -> RING map(s) [..., npix] (real)."""
         nm, P = self.nm, self.P

@@ -119,7 +119,12 @@ def synthesis_rings(plan: SHTPlan, Q):
     bucketed v2 stage wins for analysis but loses here to TPU per-FFT-call
     overhead (set plan.use_rings_v2_synthesis to force v2).
     """
-    if getattr(plan, "use_rings_v2_synthesis", False):
+    # measured on v5e at NSIDE 1024 (2 streams): uniform 1.48 s,
+    # hybrid 1.82 s, bucketed v2 3.2 s — uniform CZT stays the default
+    mode = getattr(plan, "synthesis_rings_mode", "uniform")
+    if mode == "hybrid":
+        return _ring_stage(plan).synthesis_hybrid(Q)
+    if mode == "v2":
         return _ring_stage(plan).synthesis(Q)
     wfold = jnp.where(jnp.asarray(plan.m_int) == 0, 1.0, 2.0).astype(plan.dtype)
     Y = Q * wfold[None, :] * _ring_phase(plan, +1)
