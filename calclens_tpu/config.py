@@ -94,6 +94,7 @@ class RayTraceConfig:
     RayOutputFormat: str = "fits"     # USE_FITS_RAYOUT vs binary
 
     DebugIO: bool = False             # DEBUG_IO map dumps per plane
+    DebugNans: bool = False           # FP-trap analog (DEF_GSL_IEEE_ENV)
 
     # --- TPU runtime extras (no reference analog) ---
     Precision: str = "f32"            # f32 | f64 device compute dtype

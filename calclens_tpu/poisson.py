@@ -106,6 +106,33 @@ def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
     return apply_lensing_fields(rays, pot, grad, U), maps
 
 
+RAY_CHUNK = 1 << 21  # bound the ray-side working set (interp + transport)
+
+
+def _ray_side(tab, maps, rays, scal, born):
+    """Interpolate fields to rays and propagate — chunked when the ray count
+    is large: the per-ray parallel-transport intermediates otherwise multiply
+    peak HBM by ~30x the ray pytree."""
+    N = rays.n.shape[0]
+    if N <= RAY_CHUNK or N % RAY_CHUNK:
+        pot, grad, U = shear_interp(tab, maps, rays.n)
+        rays = apply_lensing_fields(rays, pot, grad, U)
+        return rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2,
+                                 born=born)
+    k = N // RAY_CHUNK
+
+    def block(r):
+        pot, grad, U = shear_interp(tab, maps, r.n)
+        r = apply_lensing_fields(r, pot, grad, U)
+        return rp.rayprop_sphere(r, scal.wp, scal.wpm1, scal.wpm2, born=born)
+
+    blocks = jax.tree_util.tree_map(
+        lambda x: x.reshape((k, RAY_CHUNK) + x.shape[1:]), rays)
+    out = jax.lax.map(block, blocks)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((N,) + x.shape[2:]), out)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 5, 6, 7, 10))
 def plane_step(plan: SHTPlan, tab: jaxhp.InterpTables, rays, pos, mass,
                scheme: str, born: bool, with_maps: bool,
@@ -119,11 +146,28 @@ def plane_step(plan: SHTPlan, tab: jaxhp.InterpTables, rays, pos, mass,
     internally on rings/m via the plan's sharding constraints).
     """
     rays = rp.zero_plane_fields(rays)
-    rays, maps = sht_poisson_solve(
-        plan, tab, rays, pos, mass, scal.densfact, scal.backdens,
-        vacmask=vacmask, scheme=scheme, sph=sph,
-    )
-    rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)
+    pixarea = 4.0 * jnp.pi / plan.npix
+    if scheme == "SPH":
+        *sigmas, csl, min_sl, max_sl = sph
+        sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
+        dens_b = dep.deposit_sph_bucketed(plan.order, pos, mass, sl,
+                                          np.asarray(sigmas), plan.npix)
+        dens_b = dep.scale_density(dens_b, scal.densfact, 0.0, pixarea)
+        if vacmask is not None:
+            dens_b = jnp.where(vacmask[None, :], 0.0, dens_b)
+            dens_b = dens_b.at[0].add(jnp.where(vacmask, 0.0, -scal.backdens
+                                                * jnp.ones(plan.npix,
+                                                           dens_b.dtype)))
+        maps = solve_potential_sph(plan, dens_b, tuple(sigmas))
+    else:
+        if scheme == "CIC":
+            density = dep.deposit_cic(tab, pos, mass)
+        else:
+            density = dep.deposit_ngp(plan.order, pos, mass, plan.npix)
+        density = dep.scale_density(density, scal.densfact, scal.backdens,
+                                    pixarea, vacmask)
+        maps = solve_potential(plan, density)
+    rays = _ray_side(tab, maps, rays, scal, born)
     return rays, (maps if with_maps else None)
 
 
@@ -135,11 +179,11 @@ def plane_step_density(plan: SHTPlan, tab: jaxhp.InterpTables, rays, density,
     UseHEALPixLensPlaneMaps path, shtpoissonsolve.c:336-436).  density is
     mass per pixel / MASS_SCALE in RING order."""
     rays = rp.zero_plane_fields(rays)
-    rays, maps = sht_poisson_solve(
-        plan, tab, rays, None, None, scal.densfact, scal.backdens,
-        vacmask=vacmask, density=density,
-    )
-    rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)
+    pixarea = 4.0 * jnp.pi / plan.npix
+    density = dep.scale_density(density, scal.densfact, scal.backdens,
+                                pixarea, vacmask)
+    maps = solve_potential(plan, density)
+    rays = _ray_side(tab, maps, rays, scal, born)
     return rays, (maps if with_maps else None)
 
 

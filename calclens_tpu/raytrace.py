@@ -23,6 +23,10 @@ def main(argv=None):
         return 2
     t0 = time.perf_counter()
     cfg = read_config(argv[0])
+    if cfg.DebugNans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     rt = Raytracer(cfg)
 
     rpath = rt.restart_path()
