@@ -20,7 +20,8 @@ from .cosmology import Cosmology, RHO_CRIT, CSOL
 from .healpix import core as hp
 from .healpix import jaxhp
 from .io import lensplanes
-from .poisson import PlaneScalars, empty_plane_step, plane_step
+from .poisson import (PlaneScalars, empty_plane_step_packed,
+                      plane_step_packed, plane_step_density_packed)
 from .rays import propagate as rp
 from .sht.plan import SHTPlan
 
@@ -109,7 +110,7 @@ class Raytracer:
                             dtype=self.dtype, window=window,
                             ring_weights=ring_weights, mesh=mesh)
         self.tab = jaxhp.InterpTables(cfg.poissonOrder, dtype=self.dtype)
-        self.rays = None
+        self.rays_packed = None  # f32[21, N] device buffer (rays/soa.py)
         self.ray_nest = None  # host int64 nest index per ray
         self.current_plane = 0
         self.map_num = 0
@@ -178,12 +179,24 @@ class Raytracer:
         self.ray_nest = self.active_ray_pixels()
         vec = hp.pix2vec_nest(self.ray_nest, cfg.rayOrder)
         binL = cfg.maxComvDistance / cfg.NumLensPlanes
-        self.rays = rp.init_rays(vec, binL / 2.0, dtype=self.dtype)
-        if self.mesh is not None:
-            from .parallel.sharding import ShardingPlan
+        # build the packed buffer host-side (never materialize [N, 3]/[N, 2, 2]
+        # device buffers — TPU pads small trailing dims ~64x)
+        from .rays.soa import NROWS
 
-            sp = ShardingPlan(self.mesh)
-            self.rays = jax.device_put(self.rays, sp.ray_sharding())
+        N = len(vec)
+        packed = np.zeros((NROWS, N), dtype=np.dtype(self.dtype))
+        packed[0:3] = (vec * (binL / 2.0)).T
+        packed[3:6] = vec.T
+        packed[6] = packed[9] = packed[10] = packed[13] = 1.0  # A = Aprev = I
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel.sharding import AXIS
+
+            self.rays_packed = jax.device_put(
+                jnp.asarray(packed, self.dtype),
+                NamedSharding(self.mesh, P(None, AXIS)))
+        else:
+            self.rays_packed = jnp.asarray(packed, self.dtype)
         self.current_plane = 0
 
     def _pad_particles(self, pos, mass):
@@ -207,6 +220,22 @@ class Raytracer:
             out_pos = jax.device_put(out_pos, sp.batch)
             out_mass = jax.device_put(out_mass, sp.batch)
         return out_pos, out_mass
+
+    @property
+    def rays(self):
+        """Host numpy view of the packed ray buffer (struct-of-arrays rows
+        decoded to the reference's HEALPixRay fields)."""
+        if self.rays_packed is None:
+            return None
+        h = np.asarray(self.rays_packed)
+        from .rays.propagate import Rays
+
+        def mat(i):
+            return np.stack([np.stack([h[i], h[i + 1]], -1),
+                             np.stack([h[i + 2], h[i + 3]], -1)], -2)
+
+        return Rays(n=h[0:3].T, beta=h[3:6].T, A=mat(6), Aprev=mat(10),
+                    alpha=h[14:16].T, U=mat(16), phi=h[20])
 
     # ------------------------------------------------------------------
     def load_particles(self, plane_num: int):
@@ -244,17 +273,16 @@ class Raytracer:
         if self.cfg.UseHEALPixLensPlaneMaps:
             from .io import healpix_maps
             from .ops.deposit import MASS_SCALE
-            from .poisson import plane_step_density
 
             counts = healpix_maps.read_plane_map(
                 self.cfg.HEALPixLensPlaneMapPath,
                 self.cfg.HEALPixLensPlaneMapName, plane_num, self.plan.npix)
             density = jnp.asarray(
                 counts * (self.cfg.partMass / MASS_SCALE), self.dtype)
-            rays, maps = plane_step_density(
-                self.plan, self.tab, self.rays, density,
+            packed, maps = plane_step_density_packed(
+                self.plan, self.tab, self.rays_packed, density,
                 self.cfg.BornApprx, with_maps, scal, vacmask)
-            self.rays = jax.block_until_ready(rays)
+            self.rays_packed = jax.block_until_ready(packed)
             self.current_plane = plane_num + 1
             self.timings.append((plane_num, time.perf_counter() - t0))
             return maps
@@ -264,12 +292,14 @@ class Raytracer:
                 from .fftpot import ThreeDPotDriver
 
                 self.threedpot = ThreeDPotDriver(self.cfg, self.cosmo)
+            from .rays import soa
+
             binL = self.cfg.maxComvDistance / self.cfg.NumLensPlanes
-            rays = rp.zero_plane_fields(self.rays)
+            rays = soa.unpack(soa.zero_plane_rows(self.rays_packed))
             rays = self.threedpot.apply(rays, pp.rad, binL)
             rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2,
                                      born=self.cfg.BornApprx)
-            self.rays = jax.block_until_ready(rays)
+            self.rays_packed = jax.block_until_ready(jax.jit(soa.pack)(rays))
             self.current_plane = plane_num + 1
             self.timings.append((plane_num, time.perf_counter() - t0))
             return None
@@ -287,20 +317,21 @@ class Raytracer:
                     self.cfg.bundleOrder, n, self.cfg.rayOrder,
                     dtype=self.dtype)
             pos_d, mass_d = self._pad_particles(pos, mass)
-            rays = plane_step_mg(
-                self.plan, self.tab, self.mgsetup, self.rays,
+            packed = plane_step_mg(
+                self.plan, self.tab, self.mgsetup, self.rays_packed,
                 jnp.asarray(self.ray_nest), pos_d, mass_d,
                 self.cfg.DepositScheme, self.cfg.BornApprx, scal, vacmask)
         elif len(pos):
             pos_d, mass_d = self._pad_particles(pos, mass)
-            rays, maps = plane_step(
-                self.plan, self.tab, self.rays, pos_d, mass_d,
+            packed, maps = plane_step_packed(
+                self.plan, self.tab, self.rays_packed, pos_d, mass_d,
                 self.cfg.DepositScheme, self.cfg.BornApprx, with_maps, scal,
                 vacmask, self.sph,
             )
         else:
-            rays = empty_plane_step(self.cfg.BornApprx, self.rays, scal)
-        self.rays = jax.block_until_ready(rays)
+            packed = empty_plane_step_packed(self.cfg.BornApprx,
+                                             self.rays_packed, scal)
+        self.rays_packed = jax.block_until_ready(packed)
         self.current_plane = plane_num + 1
         self.timings.append((plane_num, time.perf_counter() - t0))
         if maps is not None and self.cfg.DebugIO and self.cfg.OutputPath:
@@ -323,8 +354,11 @@ class Raytracer:
     def load_restart(self, path=None):
         from . import restart as rst
 
-        self.rays, self.ray_nest, self.current_plane, self.map_num = (
+        from .rays import soa
+
+        rays, self.ray_nest, self.current_plane, self.map_num = (
             rst.read_restart(path or self.restart_path(), self.cfg, self.dtype))
+        self.rays_packed = jax.jit(soa.pack)(rays)
 
     # ------------------------------------------------------------------
     def _map_planes(self):
@@ -354,7 +388,7 @@ class Raytracer:
         from .io import rayio
 
         cfg = self.cfg
-        if self.rays is None:
+        if self.rays_packed is None:
             self.init_rays()
         if not hasattr(self, "map_num"):
             self.map_num = 0
@@ -427,12 +461,16 @@ class Raytracer:
         binL = cfg.maxComvDistance / cfg.NumLensPlanes
         wpm1 = cfg.maxComvDistance
         wpm2 = wpm1 - binL
-        rays = rp.zero_plane_fields(self.rays)
-        rays = rp.rayprop_sphere(rays, jnp.asarray(w_cmb, self.dtype),
-                                 jnp.asarray(wpm1, self.dtype),
-                                 jnp.asarray(wpm2, self.dtype),
-                                 born=cfg.BornApprx)
-        self.rays = jax.block_until_ready(rays)
+        from .poisson import empty_plane_step_packed
+
+        scal = PlaneScalars(
+            densfact=jnp.asarray(0.0, self.dtype),
+            backdens=jnp.asarray(0.0, self.dtype),
+            wp=jnp.asarray(w_cmb, self.dtype),
+            wpm1=jnp.asarray(wpm1, self.dtype),
+            wpm2=jnp.asarray(wpm2, self.dtype))
+        self.rays_packed = jax.block_until_ready(
+            empty_plane_step_packed(cfg.BornApprx, self.rays_packed, scal))
         accum = lm.LensMapAccum.zeros(map_order)
         return lm.update_lens_map(accum, self.rays, jnp.asarray(self.ray_nest),
                                   cfg.rayOrder, map_order)

@@ -109,28 +109,88 @@ def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
 RAY_CHUNK = 1 << 21  # bound the ray-side working set (interp + transport)
 
 
+def _ray_side_packed(tab, maps, packed, scal, born):
+    """SoA interpolation + propagation on the packed f32[21, N] ray buffer
+    (rays/soa.py): componentwise math, no small trailing dims, chunked."""
+    from .rays import soa
+
+    def block(b):
+        return soa.interp_and_prop_chunk(tab, maps, b, scal.wp, scal.wpm1,
+                                         scal.wpm2, born)
+
+    return soa.chunked(block, packed, RAY_CHUNK)
+
+
 def _ray_side(tab, maps, rays, scal, born):
-    """Interpolate fields to rays and propagate — chunked when the ray count
-    is large: the per-ray parallel-transport intermediates otherwise multiply
-    peak HBM by ~30x the ray pytree."""
-    N = rays.n.shape[0]
-    if N <= RAY_CHUNK or N % RAY_CHUNK:
-        pot, grad, U = shear_interp(tab, maps, rays.n)
-        rays = apply_lensing_fields(rays, pot, grad, U)
-        return rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2,
-                                 born=born)
-    k = N // RAY_CHUNK
+    """AoS-view wrapper around the packed ray side (kept for the
+    NamedTuple-based API)."""
+    from .rays import soa
 
-    def block(r):
-        pot, grad, U = shear_interp(tab, maps, r.n)
-        r = apply_lensing_fields(r, pot, grad, U)
-        return rp.rayprop_sphere(r, scal.wp, scal.wpm1, scal.wpm2, born=born)
+    out = _ray_side_packed(tab, maps, soa.pack(rays), scal, born)
+    return soa.unpack(out)
 
-    blocks = jax.tree_util.tree_map(
-        lambda x: x.reshape((k, RAY_CHUNK) + x.shape[1:]), rays)
-    out = jax.lax.map(block, blocks)
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((N,) + x.shape[2:]), out)
+
+def _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph):
+    """Deposit + spectral solve -> FieldMaps (scheme-dispatched)."""
+    pixarea = 4.0 * jnp.pi / plan.npix
+    if scheme == "SPH":
+        *sigmas, csl, min_sl, max_sl = sph
+        sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
+        dens_b = dep.deposit_sph_bucketed(plan.order, pos, mass, sl,
+                                          np.asarray(sigmas), plan.npix)
+        dens_b = dep.scale_density(dens_b, scal.densfact, 0.0, pixarea)
+        if vacmask is not None:
+            dens_b = jnp.where(vacmask[None, :], 0.0, dens_b)
+            dens_b = dens_b.at[0].add(jnp.where(vacmask, 0.0, -scal.backdens
+                                                * jnp.ones(plan.npix,
+                                                           dens_b.dtype)))
+        return solve_potential_sph(plan, dens_b, tuple(sigmas))
+    if scheme == "CIC":
+        density = dep.deposit_cic(tab, pos, mass)
+    else:
+        density = dep.deposit_ngp(plan.order, pos, mass, plan.npix)
+    density = dep.scale_density(density, scal.densfact, scal.backdens,
+                                pixarea, vacmask)
+    return solve_potential(plan, density)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6, 7, 10))
+def plane_step_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed, pos,
+                      mass, scheme: str, born: bool, with_maps: bool,
+                      scal: PlaneScalars, vacmask=None, sph=None):
+    """plane_step on the packed f32[21, N] ray buffer (the production ray
+    layout on TPU; see rays/soa.py)."""
+    from .rays import soa
+
+    packed = soa.zero_plane_rows(packed)
+    maps = _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph)
+    packed = _ray_side_packed(tab, maps, packed, scal, born)
+    return packed, (maps if with_maps else None)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def empty_plane_step_packed(born: bool, packed, scal: PlaneScalars):
+    from .rays import soa
+
+    packed = soa.zero_plane_rows(packed)
+    return soa.chunked(
+        lambda b: soa.prop_only_chunk(b, scal.wp, scal.wpm1, scal.wpm2, born),
+        packed, RAY_CHUNK)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def plane_step_density_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed,
+                              density, born: bool, with_maps: bool,
+                              scal: PlaneScalars, vacmask=None):
+    from .rays import soa
+
+    packed = soa.zero_plane_rows(packed)
+    pixarea = 4.0 * jnp.pi / plan.npix
+    density = dep.scale_density(density, scal.densfact, scal.backdens,
+                                pixarea, vacmask)
+    maps = solve_potential(plan, density)
+    packed = _ray_side_packed(tab, maps, packed, scal, born)
+    return packed, (maps if with_maps else None)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5, 6, 7, 10))
@@ -146,27 +206,7 @@ def plane_step(plan: SHTPlan, tab: jaxhp.InterpTables, rays, pos, mass,
     internally on rings/m via the plan's sharding constraints).
     """
     rays = rp.zero_plane_fields(rays)
-    pixarea = 4.0 * jnp.pi / plan.npix
-    if scheme == "SPH":
-        *sigmas, csl, min_sl, max_sl = sph
-        sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
-        dens_b = dep.deposit_sph_bucketed(plan.order, pos, mass, sl,
-                                          np.asarray(sigmas), plan.npix)
-        dens_b = dep.scale_density(dens_b, scal.densfact, 0.0, pixarea)
-        if vacmask is not None:
-            dens_b = jnp.where(vacmask[None, :], 0.0, dens_b)
-            dens_b = dens_b.at[0].add(jnp.where(vacmask, 0.0, -scal.backdens
-                                                * jnp.ones(plan.npix,
-                                                           dens_b.dtype)))
-        maps = solve_potential_sph(plan, dens_b, tuple(sigmas))
-    else:
-        if scheme == "CIC":
-            density = dep.deposit_cic(tab, pos, mass)
-        else:
-            density = dep.deposit_ngp(plan.order, pos, mass, plan.npix)
-        density = dep.scale_density(density, scal.densfact, scal.backdens,
-                                    pixarea, vacmask)
-        maps = solve_potential(plan, density)
+    maps = _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph)
     rays = _ray_side(tab, maps, rays, scal, born)
     return rays, (maps if with_maps else None)
 
@@ -188,16 +228,18 @@ def plane_step_density(plan: SHTPlan, tab: jaxhp.InterpTables, rays, density,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 7, 8))
-def plane_step_mg(plan: SHTPlan, tab: jaxhp.InterpTables, mgsetup, rays,
+def plane_step_mg(plan: SHTPlan, tab: jaxhp.InterpTables, mgsetup, packed,
                   ray_nest, pos, mass, scheme: str, born: bool,
                   scal: PlaneScalars, vacmask=None):
     """Non-SHTONLY plane step: SHT solve for the long-range potential MAP
     only, then batched tangent-patch multigrid refinement supplies the rays'
     deflections/shear from finite differences of the patch potential
-    (reference poissondrivers.c:14-80 + mgpoissonsolve.c)."""
+    (reference poissondrivers.c:14-80 + mgpoissonsolve.c).  Operates on the
+    packed ray buffer; the AoS views are transient in-graph."""
     from . import mgdriver
+    from .rays import soa
 
-    rays = rp.zero_plane_fields(rays)
+    rays = soa.unpack(soa.zero_plane_rows(packed))
     if scheme == "CIC":
         density = dep.deposit_cic(tab, pos, mass)
     else:
@@ -214,8 +256,10 @@ def plane_step_mg(plan: SHTPlan, tab: jaxhp.InterpTables, mgsetup, rays,
     rays = mgdriver.mg_refine(
         mgsetup, tab, rays, ray_nest, mgsetup.ray_order, potmap,
         pos, mass, scal.densfact, scal.backdens)
-    rays = rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)
-    return rays
+    out = soa.pack(rays)
+    return soa.chunked(
+        lambda b: soa.prop_only_chunk(b, scal.wp, scal.wpm1, scal.wpm2, born),
+        out, RAY_CHUNK)
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -1,0 +1,286 @@
+"""Structure-of-arrays ray-side compute (TPU layout discipline).
+
+TPU tiles the last two axes of every buffer to (8, 128): an [N, 2, 2] matrix
+array allocates 64x its logical size and an [N, 3] vector 40x.  The ray
+pytree therefore lives PACKED as one f32[21, N] buffer (pads 21 -> 24 only),
+and the whole per-plane ray side — field interpolation with parallel
+transport (shtpoissonsolve.c:1122-1204) and geodesic propagation
+(rayprop.c:18-189) — is computed here componentwise on [N]-shaped lanes,
+never materializing small trailing dims.
+
+Row layout: 0-2 n, 3-5 beta, 6-9 A (00,01,10,11), 10-13 Aprev, 14-15 alpha,
+16-19 U, 20 phi.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..healpix import jaxhp
+
+NROWS = 21
+ROWS = dict(n=(0, 3), beta=(3, 6), A=(6, 10), Aprev=(10, 14),
+            alpha=(14, 16), U=(16, 20), phi=(20, 21))
+
+
+def pack(rays):
+    """Rays NamedTuple (array-of-struct views) -> packed f32[21, N]."""
+    N = rays.n.shape[0]
+    rows = [rays.n[:, 0], rays.n[:, 1], rays.n[:, 2],
+            rays.beta[:, 0], rays.beta[:, 1], rays.beta[:, 2],
+            rays.A[:, 0, 0], rays.A[:, 0, 1], rays.A[:, 1, 0], rays.A[:, 1, 1],
+            rays.Aprev[:, 0, 0], rays.Aprev[:, 0, 1],
+            rays.Aprev[:, 1, 0], rays.Aprev[:, 1, 1],
+            rays.alpha[:, 0], rays.alpha[:, 1],
+            rays.U[:, 0, 0], rays.U[:, 0, 1], rays.U[:, 1, 0], rays.U[:, 1, 1],
+            rays.phi]
+    return jnp.stack(rows, axis=0)
+
+
+def unpack(packed):
+    """packed f32[21, N] -> Rays NamedTuple (host-friendly views)."""
+    from .propagate import Rays
+
+    r = packed
+    n = jnp.stack([r[0], r[1], r[2]], axis=-1)
+    beta = jnp.stack([r[3], r[4], r[5]], axis=-1)
+
+    def mat(i):
+        return jnp.stack([jnp.stack([r[i], r[i + 1]], -1),
+                          jnp.stack([r[i + 2], r[i + 3]], -1)], -2)
+
+    return Rays(n=n, beta=beta, A=mat(6), Aprev=mat(10),
+                alpha=jnp.stack([r[14], r[15]], -1), U=mat(16), phi=r[20])
+
+
+# ----------------------------------------------------------------------------
+# componentwise geometry helpers (rot_paratrans.c, branch-free)
+# ----------------------------------------------------------------------------
+
+def _transport_psi(vx, vy, vz, rx, ry, rz):
+    """cos/sin of the parallel-transport basis angle from unit v to unit r
+    (rot_paratrans.c:101-273), componentwise."""
+    ax = vy * rz - vz * ry
+    ay = vz * rx - vx * rz
+    az = vx * ry - vy * rx
+    cosang = vx * rx + vy * ry + vz * rz
+    sinang = jnp.sqrt(ax * ax + ay * ay + az * az)
+    safe = sinang > 0.0
+    inv = 1.0 / jnp.where(safe, sinang, 1.0)
+    ax = jnp.where(safe, ax * inv, 1.0)
+    ay = jnp.where(safe, ay * inv, 0.0)
+    az = jnp.where(safe, az * inv, 0.0)
+
+    # rotate e_phi(v) = (-vy, vx, 0) about the axis by (cosang, sinang)
+    px, py, pz = -vy, vx, jnp.zeros_like(vx)
+    adotp = ax * px + ay * py + az * pz
+    cx = ay * pz - az * py
+    cy = az * px - ax * pz
+    cz = ax * py - ay * px
+    one_m_c = 1.0 - cosang
+    qx = px * cosang + ax * adotp * one_m_c + cx * sinang
+    qy = py * cosang + ay * adotp * one_m_c + cy * sinang
+    qz = pz * cosang + az * adotp * one_m_c + cz * sinang
+
+    # r's tangent basis (unnormalized, normalization via `inv2` below)
+    ephx, ephy = -ry, rx
+    etx = rz * rx
+    ety = rz * ry
+    etz = -(rx * rx + ry * ry)
+
+    norm = jnp.sqrt((1.0 - rz) * (1.0 + rz) * (1.0 - vz) * (1.0 + vz))
+    inv2 = 1.0 / jnp.where(norm > 0.0, norm, 1.0)
+    sinpsi = (qx * etx + qy * ety + qz * etz) * inv2
+    cospsi = (qx * ephx + qy * ephy) * inv2
+    same = sinang == 0.0
+    return jnp.where(same, 1.0, cospsi), jnp.where(same, 0.0, sinpsi)
+
+
+def _rot_tensor(c, s, t00, t01, t10, t11):
+    """R^T T R with R = [[c, -s], [s, c]] — componentwise."""
+    # T R = [[t00 c + t01 s, -t00 s + t01 c], [t10 c + t11 s, -t10 s + t11 c]]
+    a = t00 * c + t01 * s
+    b = -t00 * s + t01 * c
+    d = t10 * c + t11 * s
+    e = -t10 * s + t11 * c
+    # R^T (T R)
+    return (c * a + s * d, c * b + s * e,
+            -s * a + c * d, -s * b + c * e)
+
+
+def _tangent_basis(nx, ny, nz):
+    """Orthonormal (theta_hat, phi_hat) at the unit vector n."""
+    npv = jnp.sqrt(nx * nx + ny * ny)
+    inv = 1.0 / jnp.maximum(npv, 1e-30)
+    phx, phy = -ny * inv, nx * inv
+    # theta_hat = (nz nx, nz ny, -(nx^2+ny^2)) / npv
+    thx = nz * nx * inv
+    thy = nz * ny * inv
+    thz = -npv
+    return thx, thy, thz, phx, phy
+
+
+# ----------------------------------------------------------------------------
+# field interpolation + propagation (one fused chunk step)
+# ----------------------------------------------------------------------------
+
+def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool):
+    """packed chunk f32[21, c]: interpolate (pot, alpha, U) from the six
+    field maps with 4-pixel bilinear + parallel transport, then propagate to
+    radius wp.  Returns the updated packed chunk."""
+    r = chunk
+    nx, ny, nz = r[0], r[1], r[2]
+    rad = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    hx, hy, hz = nx / rad, ny / rad, nz / rad
+
+    theta = jnp.arccos(jnp.clip(hz, -1.0, 1.0))
+    phi = jnp.arctan2(hy, hx)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    pix, wgt = jaxhp.get_interpol(tab, theta, phi)
+
+    pot = jnp.zeros_like(nx)
+    g0 = jnp.zeros_like(nx)
+    g1 = jnp.zeros_like(nx)
+    u00 = jnp.zeros_like(nx)
+    u01 = jnp.zeros_like(nx)
+    u10 = jnp.zeros_like(nx)
+    u11 = jnp.zeros_like(nx)
+    for k in range(4):
+        pk = pix[..., k]
+        wk = wgt[..., k].astype(nx.dtype)
+        cvec = jaxhp.pix2vec_ring(pk, tab.order, dtype=nx.dtype)
+        cx, cy, cz = cvec[..., 0], cvec[..., 1], cvec[..., 2]
+        c_, s_ = _transport_psi(cx, cy, cz, hx, hy, hz)
+        pot = pot + maps.pot[pk] * wk
+        gt = maps.gt[pk]
+        gp = maps.gp[pk]
+        g0 = g0 + (gt * c_ + gp * s_) * wk
+        g1 = g1 + (-gt * s_ + gp * c_) * wk
+        t00, t01, t10, t11 = _rot_tensor(c_, s_, maps.gtt[pk], maps.gtp[pk],
+                                         maps.gtp[pk], maps.gpp[pk])
+        u00 = u00 + t00 * wk
+        u01 = u01 + t01 * wk
+        u10 = u10 + t10 * wk
+        u11 = u11 + t11 * wk
+
+    # apply: alpha -= grad, U += hess, phi = pot (shtpoissonsolve.c:686-703)
+    al0 = r[14] - g0
+    al1 = r[15] - g1
+    U00 = r[16] + u00
+    U01 = r[17] + u01
+    U10 = r[18] + u10
+    U11 = r[19] + u11
+
+    return _prop_rows(r, al0, al1, U00, U01, U10, U11, pot,
+                      wp, wpm1, wpm2, born)
+
+
+def _prop_rows(r, al0, al1, U00, U01, U10, U11, pot, wp, wpm1, wpm2,
+               born: bool):
+    """Componentwise rayprop_sphere on packed rows (rayprop.c:18-189)."""
+    nx, ny, nz = r[0], r[1], r[2]
+    bx, by, bz = r[3], r[4], r[5]
+    A00, A01, A10, A11 = r[6], r[7], r[8], r[9]
+    P00, P01, P10, P11 = r[10], r[11], r[12], r[13]
+
+    f = wpm1 * (wp - wpm2) / (wp * (wpm1 - wpm2))
+    g = (wp - wpm1) / wp
+    if born:
+        UA00, UA01, UA10, UA11 = U00, U01, U10, U11
+    else:
+        UA00 = U00 * A00 + U01 * A10
+        UA01 = U00 * A01 + U01 * A11
+        UA10 = U10 * A00 + U11 * A10
+        UA11 = U10 * A01 + U11 * A11
+    N00 = (1.0 - f) * P00 + f * A00 - g * UA00
+    N01 = (1.0 - f) * P01 + f * A01 - g * UA01
+    N10 = (1.0 - f) * P10 + f * A10 - g * UA10
+    N11 = (1.0 - f) * P11 + f * A11 - g * UA11
+
+    rad = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    hx, hy, hz = nx / rad, ny / rad, nz / rad
+
+    if born:
+        sc = wp / wpm1
+        out = [nx * sc, ny * sc, nz * sc, bx, by, bz,
+               N00, N01, N10, N11, A00, A01, A10, A11,
+               al0, al1, U00, U01, U10, U11, pot]
+        return jnp.stack(out, axis=0)
+
+    # bend beta by |alpha| about n x avec (rayprop.c:64-107)
+    amag = jnp.sqrt(al0 * al0 + al1 * al1)
+    thx, thy, thz, phx, phy = _tangent_basis(hx, hy, hz)
+    avx = al0 * thx + al1 * phx
+    avy = al0 * thy + al1 * phy
+    avz = al0 * thz
+    # axis = normalize(n x avec)
+    axx = ny * avz - nz * avy
+    axy = nz * avx - nx * avz
+    axz = nx * avy - ny * avx
+    an = jnp.sqrt(axx * axx + axy * axy + axz * axz)
+    inv = 1.0 / jnp.where(an > 0.0, an, 1.0)
+    axx, axy, axz = axx * inv, axy * inv, axz * inv
+    ca = jnp.cos(amag)
+    sa = jnp.sin(amag)
+    adotb = axx * bx + axy * by + axz * bz
+    cxx = axy * bz - axz * by
+    cyy = axz * bx - axx * bz
+    czz = axx * by - axy * bx
+    omc = 1.0 - ca
+    bbx = bx * ca + axx * adotb * omc + cxx * sa
+    bby = by * ca + axy * adotb * omc + cyy * sa
+    bbz = bz * ca + axz * adotb * omc + czz * sa
+    bent = amag > 0.0
+    bbx = jnp.where(bent, bbx, bx)
+    bby = jnp.where(bent, bby, by)
+    bbz = jnp.where(bent, bbz, bz)
+
+    # geodesic chord |n + lam b| = wp (rayprop.c:109-121)
+    qb = 2.0 * (nx * bbx + ny * bby + nz * bbz)
+    qc = wpm1 * wpm1 - wp * wp
+    disc = jnp.sqrt(jnp.maximum(qb * qb - 4.0 * qc, 0.0))
+    q = -0.5 * (qb + jnp.sign(qb) * disc)
+    lam1 = qc / jnp.where(q != 0.0, q, 1.0)
+    lam = jnp.where(lam1 < 0.0, q, lam1)
+    mx = nx + bbx * lam
+    my = ny + bby * lam
+    mz = nz + bbz * lam
+
+    # parallel transport A and Aprev to the new position (rayprop.c:151-170)
+    mrad = jnp.sqrt(mx * mx + my * my + mz * mz)
+    ux, uy, uz = mx / mrad, my / mrad, mz / mrad
+    c_, s_ = _transport_psi(hx, hy, hz, ux, uy, uz)
+    P00n, P01n, P10n, P11n = _rot_tensor(c_, s_, A00, A01, A10, A11)
+    A00n, A01n, A10n, A11n = _rot_tensor(c_, s_, N00, N01, N10, N11)
+
+    sc = wp / mrad
+    out = [mx * sc, my * sc, mz * sc, bbx, bby, bbz,
+           A00n, A01n, A10n, A11n, P00n, P01n, P10n, P11n,
+           al0, al1, U00, U01, U10, U11, pot]
+    return jnp.stack(out, axis=0)
+
+
+def zero_plane_rows(packed):
+    """Reset per-plane alpha/U/phi rows (raytrace.c:213-230)."""
+    return packed.at[14:21].set(0.0)
+
+
+def prop_only_chunk(chunk, wp, wpm1, wpm2, born: bool):
+    """Propagation with this plane's fields already in the rows (used for
+    particle-free planes and the CMB propagation step)."""
+    r = chunk
+    return _prop_rows(r, r[14], r[15], r[16], r[17], r[18], r[19], r[20],
+                      wp, wpm1, wpm2, born)
+
+
+def chunked(fn, packed, chunk_size):
+    """Apply fn over column chunks of packed [21, N] via lax.map (bounds the
+    transient working set; TPU pads small trailing dims ~64x)."""
+    N = packed.shape[1]
+    if N <= chunk_size or N % chunk_size:
+        return fn(packed)
+    k = N // chunk_size
+    blocks = packed.reshape(NROWS, k, chunk_size).swapaxes(0, 1)
+    out = jax.lax.map(fn, blocks)
+    return out.swapaxes(0, 1).reshape(NROWS, N)

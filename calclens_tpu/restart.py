@@ -55,10 +55,11 @@ def read_restart(path, cfg, dtype=jnp.float32):
         if len(bad):
             names = [_COMPAT_FIELDS[i] for i in bad]
             raise ValueError(f"restart incompatible with config: {names}")
+        ndt = np.dtype(dtype)
         rays = Rays(
-            n=jnp.asarray(z["n"], dtype), beta=jnp.asarray(z["beta"], dtype),
-            A=jnp.asarray(z["A"], dtype), Aprev=jnp.asarray(z["Aprev"], dtype),
-            alpha=jnp.asarray(z["alpha"], dtype), U=jnp.asarray(z["U"], dtype),
-            phi=jnp.asarray(z["phi"], dtype),
+            n=np.asarray(z["n"], ndt), beta=np.asarray(z["beta"], ndt),
+            A=np.asarray(z["A"], ndt), Aprev=np.asarray(z["Aprev"], ndt),
+            alpha=np.asarray(z["alpha"], ndt), U=np.asarray(z["U"], ndt),
+            phi=np.asarray(z["phi"], ndt),
         )
         return rays, z["ray_nest"].copy(), int(z["current_plane"]), int(z["map_num"])
