@@ -55,14 +55,21 @@ def main():
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     mass = np.full(npart, 1.0e12)
 
+    def sync():
+        # block_until_ready is unreliable through the axon tunnel; a scalar
+        # fetch is the only trustworthy synchronization point
+        return float(jnp.sum(rt.rays_packed[20]))
+
     # warmup: compile the fused plane step once
     pos = v * 375.0
     rt.step(1, pos=pos, mass=mass)
+    sync()
     # timed steady-state steps (same compiled executable, new scalars)
     times = []
     for p in (2, 3, 4):
         t0 = time.perf_counter()
         rt.step(p, pos=v * (250.0 * p + 125.0), mass=mass)
+        sync()
         times.append(time.perf_counter() - t0)
 
     per_plane = float(np.median(times))

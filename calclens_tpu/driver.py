@@ -447,7 +447,19 @@ class Raytracer:
             rayio.write_rays(cfg, self.rays, self.ray_nest, self.map_num)
         if cfg.OutputPath:
             self.save_restart()
+            self.write_timing()
         return self.rays
+
+    def write_timing(self):
+        """Per-plane step times (the reference's timing.0 rows,
+        raytrace.c:54-64, 338-343)."""
+        import os
+
+        path = os.path.join(self.cfg.OutputPath, "timing.0")
+        with open(path, "w") as fp:
+            fp.write("# plane StepTime[s]\n")
+            for p, t in self.timings:
+                fp.write(f"{p} {t:.6f}\n")
 
     # ------------------------------------------------------------------
     def propagate_to_cmb(self, z_cmb=1100.0, map_order=None):
