@@ -145,7 +145,10 @@ class Raytracer:
             cfg.minRa <= 0.0 and cfg.maxRa >= 360.0
             and cfg.minDec <= -90.0 and cfg.maxDec >= 90.0
         )
-        nest = np.arange(npix, dtype=np.int64)
+        # rays are stored in RING order of their pixels: the field maps are
+        # ring-ordered, so the interpolation gathers walk memory nearly
+        # sequentially (nest-ordered rays made them random-access)
+        nest = hp.ring2nest(np.arange(npix, dtype=np.int64), cfg.rayOrder)
         if full_sky:
             return nest
         theta, phi = hp.pix2ang_nest(nest, cfg.rayOrder)
@@ -414,7 +417,8 @@ class Raytracer:
                 if len(ppos):
                     pp = plane_params(cfg, self.cosmo, p)
                     images = gs.find_images(cfg, gs_tables, self.rays, ppos,
-                                            pidx, pp.rad, pp.rad_minus1)
+                                            pidx, pp.rad, pp.rad_minus1,
+                                            nest2index=gs_tables.ring_of_nest)
                     if cfg.GalOutputName:
                         galsio.write_image_gals(cfg, images, p)
             self.step(p)

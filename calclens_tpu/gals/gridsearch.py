@@ -158,9 +158,13 @@ def _interp_A_at(ivec, grad, wpm1, wpm2, pix4, wgt4, cvec4,
 
 
 def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
-                wpm1, wpm2, chunk=1024):
+                wpm1, wpm2, chunk=1024, nest2index=None):
     """All lensed images of the given source galaxies (host orchestration,
-    device math).  gal_pos [G, 3] comoving; returns ImageGals."""
+    device math).  gal_pos [G, 3] comoving; returns ImageGals.
+
+    nest2index: optional [npix] host array mapping a ray's NEST pixel to its
+    index in the ray arrays (None = rays stored in nest order; the driver
+    stores rays in RING order and passes ring_of_nest)."""
     dtype = rays.n.dtype
     G = len(gal_pos)
     if G == 0:
@@ -188,11 +192,11 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
         verts_h = np.where(tri >= 0, tri, 0)
         vert_cvec_h = hp.pix2vec_nest(verts_h.reshape(-1), cfg.rayOrder
                                       ).reshape(Gc, -1, 3, 3)
+        verts_idx = verts_h if nest2index is None else nest2index[verts_h]
 
-        # rays are nest-indexed [npix]; vertex index == nest index
         hit, ix, iy = _search_chunk(
             0,
-            jnp.asarray(verts_h), jnp.asarray(vmask_h),
+            jnp.asarray(verts_idx), jnp.asarray(vmask_h),
             jnp.asarray(gvec, dtype), jnp.asarray(grad, dtype),
             jnp.asarray(_tvec(gvec), dtype), jnp.asarray(_pvec(gvec), dtype),
             jnp.asarray(vert_cvec_h, dtype),
@@ -225,12 +229,13 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
         theta, phi = hp.vec2ang(ivec)
         pix4, wgt4 = hp.get_interpol(theta, phi, cfg.rayOrder)
         pix4_nest = tables.nest_of_ring[pix4]
+        pix4_idx = pix4_nest if nest2index is None else nest2index[pix4_nest]
         cvec4 = hp.pix2vec_nest(pix4_nest.reshape(-1), cfg.rayOrder
                                 ).reshape(-1, 4, 3)
         Aimg = _interp_A_at(
             jnp.asarray(ivec, dtype), jnp.asarray(grad_all[i0 + gi], dtype),
             wpm1j, wpm2j,
-            jnp.asarray(pix4_nest), jnp.asarray(wgt4, dtype),
+            jnp.asarray(pix4_idx), jnp.asarray(wgt4, dtype),
             jnp.asarray(cvec4, dtype),
             rays.n, rays.beta, rays.A, rays.Aprev,
         )

@@ -119,8 +119,10 @@ def test_pointmass_images_displaced(pm_trace):
 
     pp = plane_params(cfg, rt.cosmo, target_plane)
     tables = gs.GridSearchTables(cfg.rayOrder)
+    # driver stores rays in RING order: map nest pixels to ray indices
     images = gs.find_images(cfg, tables, rt.rays, gal_pos,
-                            np.arange(nsrc), pp.rad, pp.rad_minus1)
+                            np.arange(nsrc), pp.rad, pp.rad_minus1,
+                            nest2index=tables.ring_of_nest)
     assert len(images.index) == nsrc, "one image per weakly-lensed source"
 
     # lens equation: beta = theta - (ws-wl)/ws alpha(theta); images move AWAY
