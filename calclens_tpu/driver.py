@@ -205,6 +205,8 @@ class Raytracer:
     def _pad_particles(self, pos, mass):
         """Pad to the bucket size with zero-mass particles at a valid unit
         vector (keeps compiled-shape count small and deposits nothing)."""
+        if isinstance(pos, jax.Array) and len(pos) % self.part_bucket == 0:
+            return pos, mass  # already padded + staged on device
         n = len(pos)
         b = self.part_bucket
         npad = max(b, ((n + b - 1) // b) * b)

@@ -106,7 +106,10 @@ def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
     return apply_lensing_fields(rays, pot, grad, U), maps
 
 
-RAY_CHUNK = 1 << 21  # bound the ray-side working set (interp + transport)
+# Ray-side chunk threshold: the SoA layout fits unchunked to ~32M rays;
+# lax.map chunking costs ~6x in serialization (measured on v5e), so chunk
+# only when the buffer genuinely cannot fit
+RAY_CHUNK = 1 << 25
 
 
 def _ray_side_packed(tab, maps, packed, scal, born):

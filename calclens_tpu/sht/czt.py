@@ -60,16 +60,14 @@ def czt(x, n, K, L, sign, cdtype):
 
 
 def czt_blocked(x, n, K, L, sign, cdtype, block):
-    """Apply czt in row blocks of size `block` to bound peak memory."""
+    """Apply czt in row blocks of size `block` to bound peak memory.
+
+    Blocks are unrolled in the graph (a handful at most): lax.map's
+    serialization costs several x on TPU."""
     R = x.shape[0]
     assert R % block == 0, (R, block)
-    xb = x.reshape(R // block, block, x.shape[1])
-    nb = n.reshape(R // block, block)
-    f = partial(_czt_block, K=K, L=L, sign=sign, cdtype=cdtype)
-    out = jax.lax.map(f, (xb, nb))
-    return out.reshape(R, K)
-
-
-def _czt_block(args, K, L, sign, cdtype):
-    xb, nb = args
-    return czt(xb, nb, K, L, sign, cdtype)
+    if R == block:
+        return czt(x, n, K, L, sign, cdtype)
+    outs = [czt(x[i: i + block], n[i: i + block], K, L, sign, cdtype)
+            for i in range(0, R, block)]
+    return jnp.concatenate(outs, axis=0)
