@@ -178,3 +178,53 @@ def test_source_gal_catalog_roundtrip(tmp_path):
     np.testing.assert_allclose(rpos[:30], pos[:30])
     # index encodes fileNum + NumFiles*row
     assert ridx[0] == 0 and ridx[1] == 2 and ridx[30] == 1
+
+
+def test_strong_lensing_two_images(tmp_path):
+    """A super-critical point mass produces two images of an offset source:
+    theta_pm = (beta +- sqrt(beta^2 + 4 theta_E^2)) / 2 on opposite sides."""
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+        LensPlanePath=str(tmp_path), LensPlaneName="pmplane",
+        SHTOrder=7, rayOrder=6, bundleOrder=3,
+        partMass=4.0e19, raPointMass=32.0, decPointMass=14.0,
+        radPointMass=625.0, PointMassTest=True, Precision="f64",
+        ComvSmoothingScale=1.0, SmoothingBeamFWHM=0.02,
+    ).finalize()
+    mass_vec, mass_plane = pm.make_pointmass_planes(cfg, snap_to_pixel_order=cfg.SHTOrder)
+    mass_vec = np.asarray(mass_vec)
+    rt = Raytracer(cfg)
+    rt.init_rays()
+    target_plane = 4  # gal radius bin [1000, 1250)
+    for p in range(target_plane):
+        rt.step(p)
+    pp = plane_params(cfg, rt.cosmo, target_plane)
+    ppl = plane_params(cfg, rt.cosmo, mass_plane)
+    w_src = 1100.0
+    q = pm.charge(cfg, rt.cosmo, ppl.rad)
+    lever = (w_src - ppl.rad) / w_src
+    theta_E = np.sqrt(lever * q / (2.0 * np.pi))
+    assert theta_E > 0.05  # resolved by several ray pixels
+
+    beta = 0.5 * theta_E
+    e1 = np.cross(mass_vec, [0.0, 0.0, 1.0])
+    e1 /= np.linalg.norm(e1)
+    gvec = np.cos(beta) * mass_vec + np.sin(beta) * e1
+    gal_pos = (gvec * w_src)[None, :]
+
+    tables = gs.GridSearchTables(cfg.rayOrder, expand=3)
+    images = gs.find_images(cfg, tables, rt.rays, gal_pos, np.array([7]),
+                            pp.rad, pp.rad_minus1,
+                            nest2index=tables.ring_of_nest)
+    assert len(images.index) >= 2, "strong lens must multiply image"
+    ivec = hp.radec2vec(images.ra, images.dec)
+    # signed offset along e1 from the mass
+    s = ivec @ e1
+    c = ivec @ mass_vec
+    theta_img = np.arctan2(s, c)
+    disc = np.sqrt(beta**2 + 4 * theta_E**2)
+    want = np.array([(beta + disc) / 2.0, (beta - disc) / 2.0])
+    # match each predicted image to the closest found image
+    for w in want:
+        d = np.min(np.abs(theta_img - w))
+        assert d < 0.25 * abs(w), (theta_img, want)
