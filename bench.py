@@ -32,7 +32,7 @@ BASELINE_RAYS_PER_SEC = 2.0e5  # estimated 128-core reference (see docstring)
 
 
 def main():
-    sht_order = int(os.environ.get("BENCH_SHT_ORDER", 11))
+    sht_order = int(os.environ.get("BENCH_SHT_ORDER", 10))
     ray_order = int(os.environ.get("BENCH_RAY_ORDER", 10))
     npart = int(os.environ.get("BENCH_NPART", 1 << 21))
 
