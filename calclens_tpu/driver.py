@@ -404,7 +404,9 @@ class Raytracer:
             from .gals import io as galsio
 
             gal_pos, gal_idx = galsio.read_source_gals(cfg.GalsFileList)
-            gs_tables = gs.GridSearchTables(cfg.rayOrder)
+            # candidate window >= the reference's galImageSearchRad of 10 ray
+            # pixels (config.c:222-225): half-width ~ 1.5 * 2^expand pixels
+            gs_tables = gs.GridSearchTables(cfg.rayOrder, expand=3)
         t_start = start_time if start_time is not None else time.perf_counter()
         t_last_restart = t_start
         binL = cfg.maxComvDistance / cfg.NumLensPlanes

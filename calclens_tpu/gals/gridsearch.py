@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from ..healpix import core as hp
-from ..healpix import jaxhp
 from ..rays.paratrans import paratrans_tangtensor
 
 

@@ -13,7 +13,6 @@ float-then-correct scheme so ring decoding is exact.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

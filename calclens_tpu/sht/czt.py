@@ -17,7 +17,6 @@ stays at f32 rounding level even for t^2 ~ 2^30.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
