@@ -111,7 +111,7 @@ class Raytracer:
                             ring_weights=ring_weights, mesh=mesh)
         self.tab = jaxhp.InterpTables(cfg.poissonOrder, dtype=self.dtype)
         self.rays_packed = None  # f32[21, N] device buffer (rays/soa.py)
-        self.ray_nest = None  # host int64 nest index per ray
+        self._ray_nest = None  # host int64 nest index per ray (lazy)
         self.current_plane = 0
         self.map_num = 0
         self.timings = []
@@ -148,13 +148,26 @@ class Raytracer:
         # rays are stored in RING order of their pixels: the field maps are
         # ring-ordered, so the interpolation gathers walk memory nearly
         # sequentially (nest-ordered rays made them random-access)
-        nest = hp.ring2nest(np.arange(npix, dtype=np.int64), cfg.rayOrder)
         if full_sky:
-            return nest
-        theta, phi = hp.pix2ang_nest(nest, cfg.rayOrder)
+            return hp.ring2nest(np.arange(npix, dtype=np.int64), cfg.rayOrder)
+        # coarse-first: pick bundle cells in a buffered box, then filter only
+        # their children exactly (avoids O(npix) host work at high orders)
+        cnpix = int(hp.order2npix(cfg.bundleOrder))
+        cnest = np.arange(cnpix, dtype=np.int64)
+        cth, cph = hp.pix2ang_nest(cnest, cfg.bundleOrder)
+        cra, cdec = hp.ang2radec(cth, cph)
+        buf = 2.0 * np.degrees(np.sqrt(4.0 * np.pi / cnpix))
+        csel = ((cra >= cfg.minRa - buf) & (cra <= cfg.maxRa + buf)
+                & (cdec >= cfg.minDec - buf) & (cdec <= cfg.maxDec + buf))
+        k = 2 * (cfg.rayOrder - cfg.bundleOrder)
+        children = ((cnest[csel][:, None] << k)
+                    + np.arange(1 << k, dtype=np.int64)).reshape(-1)
+        theta, phi = hp.pix2ang_nest(children, cfg.rayOrder)
         ra, dec = hp.ang2radec(theta, phi)
-        keep = (ra >= cfg.minRa) & (ra <= cfg.maxRa) & (dec >= cfg.minDec) & (dec <= cfg.maxDec)
-        return nest[keep]
+        keep = ((ra >= cfg.minRa) & (ra <= cfg.maxRa)
+                & (dec >= cfg.minDec) & (dec <= cfg.maxDec))
+        nest = children[keep]
+        return nest[np.argsort(hp.nest2ring(nest, cfg.rayOrder))]
 
     def vacuum_mask(self, buffer_deg=5.0):
         """True at poissonOrder pixels outside the buffered ra/dec box: these
@@ -179,13 +192,36 @@ class Raytracer:
     def init_rays(self):
         cfg = self.cfg
         self.vacmask = self.vacuum_mask()
-        self.ray_nest = self.active_ray_pixels()
-        vec = hp.pix2vec_nest(self.ray_nest, cfg.rayOrder)
         binL = cfg.maxComvDistance / cfg.NumLensPlanes
-        # build the packed buffer host-side (never materialize [N, 3]/[N, 2, 2]
-        # device buffers — TPU pads small trailing dims ~64x)
+        full_sky = (
+            cfg.minRa <= 0.0 and cfg.maxRa >= 360.0
+            and cfg.minDec <= -90.0 and cfg.maxDec >= 90.0
+        )
+        from .rays import soa
         from .rays.soa import NROWS
 
+        if full_sky:
+            # device init in RING order; the nest-index view is built lazily
+            # (host memory bandwidth limits O(npix) host work at order >= 12)
+            npix = int(hp.order2npix(cfg.rayOrder))
+            self._ray_nest = None
+            kwargs = {}
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from .parallel.sharding import AXIS
+
+                kwargs["out_shardings"] = NamedSharding(self.mesh,
+                                                        P(None, AXIS))
+            fn = jax.jit(soa.init_packed_fullsky, static_argnums=(0, 2),
+                         **kwargs)
+            self.rays_packed = fn(cfg.rayOrder,
+                                  jnp.asarray(binL / 2.0, self.dtype), npix)
+            self.current_plane = 0
+            return
+        self._ray_nest = self.active_ray_pixels()
+        vec = hp.pix2vec_nest(self._ray_nest, cfg.rayOrder)
+        # build the packed buffer host-side (never materialize [N, 3]/[N, 2, 2]
+        # device buffers — TPU pads small trailing dims ~64x)
         N = len(vec)
         packed = np.zeros((NROWS, N), dtype=np.dtype(self.dtype))
         packed[0:3] = (vec * (binL / 2.0)).T
@@ -241,6 +277,16 @@ class Raytracer:
 
         return Rays(n=h[0:3].T, beta=h[3:6].T, A=mat(6), Aprev=mat(10),
                     alpha=h[14:16].T, U=mat(16), phi=h[20])
+
+    @property
+    def ray_nest(self):
+        """Host nest index per ray (ray i sits at RING pixel i for the full
+        sky; built lazily — O(npix) host work is expensive at high orders)."""
+        if self._ray_nest is None:
+            npix = int(hp.order2npix(self.cfg.rayOrder))
+            self._ray_nest = hp.ring2nest(np.arange(npix, dtype=np.int64),
+                                          self.cfg.rayOrder)
+        return self._ray_nest
 
     # ------------------------------------------------------------------
     def load_particles(self, plane_num: int):
@@ -361,7 +407,7 @@ class Raytracer:
 
         from .rays import soa
 
-        rays, self.ray_nest, self.current_plane, self.map_num = (
+        rays, self._ray_nest, self.current_plane, self.map_num = (
             rst.read_restart(path or self.restart_path(), self.cfg, self.dtype))
         self.rays_packed = jax.jit(soa.pack)(rays)
 

@@ -289,3 +289,19 @@ def chunked(fn, packed, chunk_size):
     blocks = packed.reshape(NROWS, k, chunk_size).swapaxes(0, 1)
     out = jax.lax.map(fn, blocks)
     return out.swapaxes(0, 1).reshape(NROWS, N)
+
+
+def init_packed_fullsky(order: int, wp, npix: int, dtype=jnp.float32):
+    """Device-side packed ray init for the full sky in RING pixel order
+    (init_rays, raytrace_utils.c:302-349): n = wp * pixel center, beta = n_hat,
+    A = Aprev = I.  Componentwise — no [N, 3] buffers, no O(npix) host work
+    (host memory bandwidth is the bottleneck at order >= 12)."""
+    pix = jnp.arange(npix, dtype=jnp.int32)
+    v = jaxhp.pix2vec_ring(pix, order, dtype=dtype)  # transient in-graph
+    z = jnp.zeros((npix,), dtype)
+    one = jnp.ones((npix,), dtype)
+    rows = [v[:, 0] * wp, v[:, 1] * wp, v[:, 2] * wp,
+            v[:, 0], v[:, 1], v[:, 2],
+            one, z, z, one, one, z, z, one,
+            z, z, z, z, z, z, z]
+    return jnp.stack(rows, axis=0)
