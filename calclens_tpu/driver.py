@@ -10,6 +10,7 @@ from __future__ import annotations
 import sys
 import time
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -181,13 +182,24 @@ class Raytracer:
         )
         if full_sky:
             return None
-        pix = np.arange(int(hp.order2npix(cfg.poissonOrder)))
-        theta, phi = hp.pix2ang_ring(pix, cfg.poissonOrder)
-        ra, dec = hp.ang2radec(theta, phi)
-        inside = ((ra >= cfg.minRa - buffer_deg) & (ra <= cfg.maxRa + buffer_deg)
-                  & (dec >= cfg.minDec - buffer_deg)
-                  & (dec <= cfg.maxDec + buffer_deg))
-        return jnp.asarray(~inside)
+
+        # computed on device (O(npix) host work is slow at high orders)
+        @partial(jax.jit, static_argnums=0)
+        def _mask(order):
+            pix = jnp.arange(int(hp.order2npix(order)), dtype=jnp.int32)
+            v = jaxhp.pix2vec_ring(pix, order, dtype=jnp.float32)
+            theta = jnp.arccos(jnp.clip(v[:, 2], -1, 1))
+            phi = jnp.arctan2(v[:, 1], v[:, 0])
+            phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+            ra = jnp.degrees(phi)
+            dec = 90.0 - jnp.degrees(theta)
+            inside = ((ra >= cfg.minRa - buffer_deg)
+                      & (ra <= cfg.maxRa + buffer_deg)
+                      & (dec >= cfg.minDec - buffer_deg)
+                      & (dec <= cfg.maxDec + buffer_deg))
+            return ~inside
+
+        return _mask(cfg.poissonOrder)
 
     def init_rays(self):
         cfg = self.cfg

@@ -85,8 +85,10 @@ class MGSetup:
 
 @partial(jax.jit, static_argnums=(0,))
 def deposit_patches(setup: MGSetup, pos, mass, densfact, backdens):
-    """NGP deposit of every particle into its own and neighboring patches,
-    scaled to the kappa source term (fill_rho_mggrid:246-255):
+    """CIC deposit of every particle into its own and neighboring patches,
+    scaled to the kappa source term (fill_rho_mggrid:246-255; the reference
+    uses the spline kernel with per-particle normalization — CIC is the
+    fixed-footprint TPU form):
       rho[i,j] = mass_in_cell / (dL * cosfacs_i) * densfact - backdens
     """
     lev = setup.levels[0]
@@ -101,11 +103,17 @@ def deposit_patches(setup: MGSetup, pos, mass, densfact, backdens):
     Rrows = jnp.asarray(setup.R, pos.dtype)[cand]             # [Np, 9, 3, 3]
     nhat = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
     ti, pj, ok = setup.patch_coords(Rrows, nhat[:, None, :])
-    ii = jnp.clip(jnp.round(ti).astype(jnp.int32), 0, N - 1)
-    jj = jnp.clip(jnp.round(pj).astype(jnp.int32), 0, N - 1)
+    i0 = jnp.clip(jnp.floor(ti).astype(jnp.int32), 0, N - 2)
+    j0 = jnp.clip(jnp.floor(pj).astype(jnp.int32), 0, N - 2)
+    fx = jnp.clip(ti - i0, 0.0, 1.0)
+    fy = jnp.clip(pj - j0, 0.0, 1.0)
     w = jnp.where(ok, mass[:, None], 0.0)
     grid = jnp.zeros((setup.C, N, N), pos.dtype)
-    grid = grid.at[cand, ii, jj].add(w)
+    for di in (0, 1):
+        wi = (1.0 - fx) if di == 0 else fx
+        for dj in (0, 1):
+            wj = (1.0 - fy) if dj == 0 else fy
+            grid = grid.at[cand, i0 + di, j0 + dj].add(w * wi * wj)
     cosf = jnp.asarray(np.asarray(lev.cosfacs), pos.dtype)[None, :, None]
     rho = grid / (lev.dL * cosf) * densfact - backdens
     return rho
