@@ -157,7 +157,7 @@ def _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph):
     return solve_potential(plan, density)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 5, 6, 7, 10))
+@partial(jax.jit, static_argnums=(0, 1, 5, 6, 7, 10), donate_argnums=(2,))
 def plane_step_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed, pos,
                       mass, scheme: str, born: bool, with_maps: bool,
                       scal: PlaneScalars, vacmask=None, sph=None):
@@ -171,7 +171,7 @@ def plane_step_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed, pos,
     return packed, (maps if with_maps else None)
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
 def empty_plane_step_packed(born: bool, packed, scal: PlaneScalars):
     from .rays import soa
 
@@ -181,7 +181,7 @@ def empty_plane_step_packed(born: bool, packed, scal: PlaneScalars):
         packed, RAY_CHUNK)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 4, 5), donate_argnums=(2,))
 def plane_step_density_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed,
                               density, born: bool, with_maps: bool,
                               scal: PlaneScalars, vacmask=None):
