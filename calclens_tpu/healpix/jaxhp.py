@@ -131,10 +131,10 @@ class InterpTables:
         self.shifted = np.asarray(rt.shifted.astype(np.float64) * 0.5, dtype=np.dtype(dtype))
 
 
-def get_interpol(tab: InterpTables, theta, phi):
-    """Device 4-pixel bilinear weights (healpix_utils get_interpol parity).
+def get_interpol_soa(tab: InterpTables, theta, phi):
+    """Device 4-pixel bilinear taps as separate [N] arrays (SoA).
 
-    Returns (pix [..., 4] int32 RING indices, wgt [..., 4]).
+    Returns ((p0..p3 int32 RING indices), (w0..w3 weights)).
     """
     nside = tab.nside
     startpix_t = jnp.asarray(tab.startpix)
@@ -196,6 +196,16 @@ def get_interpol(tab: InterpTables, theta, phi):
     p2 = jnp.where(south, ((p11 + 2) & 3) + npix - 4, p21)
     p3 = jnp.where(south, ((p12 + 2) & 3) + npix - 4, p22)
 
+    return (p0, p1, p2, p3), (w0, w1_, w2_, w3_)
+
+
+def get_interpol(tab: InterpTables, theta, phi):
+    """Device 4-pixel bilinear weights (healpix_utils get_interpol parity).
+
+    Returns (pix [..., 4] int32 RING indices, wgt [..., 4]).  Prefer
+    get_interpol_soa in TPU hot paths: the stacked [N, 4] form tiles to
+    (8, 128) and allocates 32x its logical size when materialized."""
+    (p0, p1, p2, p3), (w0, w1, w2, w3) = get_interpol_soa(tab, theta, phi)
     pix = jnp.stack([p0, p1, p2, p3], axis=-1)
-    wgt = jnp.stack([w0, w1_, w2_, w3_], axis=-1)
+    wgt = jnp.stack([w0, w1, w2, w3], axis=-1)
     return pix, wgt

@@ -143,7 +143,7 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool):
     theta = jnp.arccos(jnp.clip(hz, -1.0, 1.0))
     phi = jnp.arctan2(hy, hx)
     phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
-    pix, wgt = jaxhp.get_interpol(tab, theta, phi)
+    pix4, wgt4 = jaxhp.get_interpol_soa(tab, theta, phi)
 
     pot = jnp.zeros_like(nx)
     g0 = jnp.zeros_like(nx)
@@ -153,8 +153,8 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool):
     u10 = jnp.zeros_like(nx)
     u11 = jnp.zeros_like(nx)
     for k in range(4):
-        pk = pix[..., k]
-        wk = wgt[..., k].astype(nx.dtype)
+        pk = pix4[k]
+        wk = wgt4[k].astype(nx.dtype)
         cvec = jaxhp.pix2vec_ring(pk, tab.order, dtype=nx.dtype)
         cx, cy, cz = cvec[..., 0], cvec[..., 1], cvec[..., 2]
         c_, s_ = _transport_psi(cx, cy, cz, hx, hy, hz)
