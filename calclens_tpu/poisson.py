@@ -109,7 +109,7 @@ def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
 # Ray-side chunk threshold: the SoA layout fits unchunked to ~32M rays;
 # lax.map chunking costs ~6x in serialization (measured on v5e), so chunk
 # only when the buffer genuinely cannot fit
-RAY_CHUNK = 1 << 25
+RAY_CHUNK = 1 << 24
 
 
 def _ray_side_packed(tab, maps, packed, scal, born):

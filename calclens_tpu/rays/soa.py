@@ -280,15 +280,16 @@ def prop_only_chunk(chunk, wp, wpm1, wpm2, born: bool):
 
 
 def chunked(fn, packed, chunk_size):
-    """Apply fn over column chunks of packed [21, N] via lax.map (bounds the
-    transient working set; TPU pads small trailing dims ~64x)."""
+    """Apply fn over column chunks of packed [21, N] (bounds the transient
+    working set).  Chunks are unrolled in the graph — lax.map serializes with
+    ~6x overhead on TPU, while the XLA scheduler orders inlined chunks to
+    minimize peak memory on its own."""
     N = packed.shape[1]
     if N <= chunk_size or N % chunk_size:
         return fn(packed)
-    k = N // chunk_size
-    blocks = packed.reshape(NROWS, k, chunk_size).swapaxes(0, 1)
-    out = jax.lax.map(fn, blocks)
-    return out.swapaxes(0, 1).reshape(NROWS, N)
+    outs = [fn(packed[:, i: i + chunk_size])
+            for i in range(0, N, chunk_size)]
+    return jnp.concatenate(outs, axis=1)
 
 
 def init_packed_fullsky(order: int, wp, npix: int, dtype=jnp.float32):
