@@ -22,6 +22,46 @@ _COMPAT_FIELDS = (
 )
 
 
+def write_restart_orbax(path, cfg, rays_packed, ray_nest, current_plane,
+                        map_num=0):
+    """Orbax checkpoint of the packed (possibly sharded) ray buffer — the
+    multi-host production form: each host writes only its shards, so no
+    device->single-host gather is needed (the TPU analog of the reference's
+    per-task restart files, restart.c:18-219)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = {
+        "rays_packed": rays_packed,
+        # empty arrays are unsupported: full-sky (lazy nest view) stores [-1]
+        "ray_nest": np.asarray(ray_nest) if ray_nest is not None
+        else np.array([-1], np.int64),
+        "current_plane": np.int64(current_plane),
+        "map_num": np.int64(map_num),
+        "compat": np.array([float(getattr(cfg, f)) for f in _COMPAT_FIELDS]),
+    }
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def read_restart_orbax(path, cfg):
+    """Returns (rays_packed, ray_nest-or-None, current_plane, map_num)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path))
+    compat = np.asarray(state["compat"])
+    want = np.array([float(getattr(cfg, f)) for f in _COMPAT_FIELDS])
+    bad = np.flatnonzero(~np.isclose(compat, want))
+    if len(bad):
+        names = [_COMPAT_FIELDS[i] for i in bad]
+        raise ValueError(f"restart incompatible with config: {names}")
+    nest = np.asarray(state["ray_nest"])
+    return (jnp.asarray(state["rays_packed"]),
+            None if (len(nest) == 1 and nest[0] < 0) else nest,
+            int(state["current_plane"]), int(state["map_num"]))
+
+
 def write_restart(path, cfg, rays, ray_nest, current_plane, map_num=0):
     """Atomic write: .tmp then rename; previous file moved to .bak
     (restart.c:38-53)."""
