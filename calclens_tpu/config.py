@@ -156,13 +156,18 @@ def read_config(path: str) -> RayTraceConfig:
                 continue
             parts = line.split()
             if len(parts) < 2:
-                raise ValueError(f"tag '{parts[0]}' without a value in '{path}'")
-            tag, val = parts[0], parts[1]
+                # the reference's example config carries empty-valued string
+                # tags (raytrace.cfg:14,44-45): keep the default
+                tag, val = parts[0], ""
+            else:
+                tag, val = parts[0], parts[1]
             key = lower.get(tag.lower())
             if key is None:
                 warnings.warn(f"Tag-value pair ('{tag}','{val}') not recognized in '{path}'")
                 continue
             ftype = fields[key].type
+            if val == "" and ftype not in ("str", str):
+                continue  # empty non-string tag: keep the default
             if key in _BOOL_FIELDS:
                 setattr(cfg, key, bool(int(val)))
             elif ftype in ("int", int):

@@ -90,3 +90,28 @@ def test_profiler():
     assert prof.count["SHT"] == 1
     assert len(prof.series) == 2
     assert "SHT" in prof.report()
+
+
+def test_reference_example_config_parses(tmp_path):
+    """The reference repo's shipped raytrace.cfg must parse cleanly,
+    including its empty-valued string tags."""
+    import os
+    import shutil
+    import warnings
+
+    src = "/root/reference/raytrace.cfg"
+    if not os.path.exists(src):
+        import pytest
+
+        pytest.skip("reference config not present")
+    from calclens_tpu.config import read_config
+
+    shutil.copy(src, tmp_path / "r.cfg")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = read_config(str(tmp_path / "r.cfg"))
+    assert cfg.NumLensPlanes == 50
+    assert cfg.SHTOrder == 7
+    assert cfg.rayOrder == 8
+    assert abs(cfg.OmegaM - 0.27) < 1e-12
+    assert not w, [str(x.message) for x in w]
