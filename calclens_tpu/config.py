@@ -94,6 +94,7 @@ class RayTraceConfig:
     RayOutputFormat: str = "fits"     # USE_FITS_RAYOUT vs binary
 
     DebugIO: bool = False             # DEBUG_IO map dumps per plane
+    KeepRandFrac: float = 1.0         # KEEP_RAND_FRAC particle subsampling
     DebugNans: bool = False           # FP-trap analog (DEF_GSL_IEEE_ENV)
 
     # --- TPU runtime extras (no reference analog) ---

@@ -302,16 +302,25 @@ class Raytracer:
 
     # ------------------------------------------------------------------
     def load_particles(self, plane_num: int):
-        """Dispatch by LensPlaneType (reference partio.c:42-61)."""
+        """Dispatch by LensPlaneType (reference partio.c:42-61), with
+        optional random subsampling + mass rescale (KEEP_RAND_FRAC,
+        read_lensplanes_hdf5.c:90-122)."""
         cfg = self.cfg
         if cfg.LensPlaneType.lower() == "pixlc":
             from .io import pixlc
 
-            return pixlc.read_plane(cfg.LensPlanePath, cfg.LensPlaneName,
-                                    plane_num)[:2]
-        fn = lensplanes.plane_filename(cfg.LensPlanePath, cfg.LensPlaneName,
-                                       plane_num)
-        return lensplanes.read_plane(fn)
+            pos, mass = pixlc.read_plane(cfg.LensPlanePath, cfg.LensPlaneName,
+                                         plane_num)[:2]
+        else:
+            fn = lensplanes.plane_filename(cfg.LensPlanePath,
+                                           cfg.LensPlaneName, plane_num)
+            pos, mass = lensplanes.read_plane(fn)
+        if 0.0 < cfg.KeepRandFrac < 1.0 and len(pos):
+            rng = np.random.default_rng(plane_num)  # deterministic per plane
+            keep = rng.random(len(pos)) < cfg.KeepRandFrac
+            pos = pos[keep]
+            mass = mass[keep] / cfg.KeepRandFrac
+        return pos, mass
 
     def step(self, plane_num: int, pos=None, mass=None, with_maps: bool = False):
         """One plane: Poisson solve at planeRad then propagate to planeRadPlus1."""

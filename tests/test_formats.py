@@ -115,3 +115,32 @@ def test_reference_example_config_parses(tmp_path):
     assert cfg.rayOrder == 8
     assert abs(cfg.OmegaM - 0.27) < 1e-12
     assert not w, [str(x.message) for x in w]
+
+
+def test_keep_rand_frac_subsampling(tmp_path):
+    """KEEP_RAND_FRAC: subsample particles, rescale mass so the total mass is
+    preserved in expectation (read_lensplanes_hdf5.c:90-122)."""
+    import numpy as np
+
+    from calclens_tpu.config import RayTraceConfig
+    from calclens_tpu.driver import Raytracer
+    from calclens_tpu.io import lensplanes
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pos = v * 300.0
+    lensplanes.write_plane(
+        lensplanes.plane_filename(str(tmp_path), "p", 1), 3, pos,
+        np.full(n, 2.0e12))
+    cfg = RayTraceConfig(OmegaM=0.3, maxComvDistance=1000.0, NumLensPlanes=4,
+                         LensPlanePath=str(tmp_path), LensPlaneName="p",
+                         rayOrder=4, bundleOrder=2, SHTOrder=4,
+                         KeepRandFrac=0.25).finalize()
+    rt = Raytracer(cfg)
+    p2, m2 = rt.load_particles(1)
+    assert 0.2 * n < len(p2) < 0.3 * n
+    total = n * 2.0e12
+    assert abs(m2.sum() - total) / total < 0.05
+    np.testing.assert_allclose(m2, 2.0e12 / 0.25)
