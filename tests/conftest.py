@@ -15,3 +15,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the driver tests compile many plane-step
+# variants; reruns hit the cache instead of recompiling
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-calclens")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
