@@ -200,7 +200,7 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, widths)
 
 
-def synthesis_pallas(plan, alm, derivs: bool, TM=128, TJ=256, LB=256):
+def synthesis_pallas(plan, alm, derivs: bool, TM=128, TJ=512, LB=256):
     """Drop-in replacement for transforms.legendre_synthesis on TPU.
 
     Returns (qN, qS) each [nkern, nm, J] complex64.
@@ -369,7 +369,7 @@ def _analysis_alm(plan_key, ere, eim, ore, oim, geo, nl):
     )(ere, eim, ore, oim, geo)
 
 
-def analysis_pallas(plan, E, O, TM=128, TJ=256, LB=256):
+def analysis_pallas(plan, E, O, TM=128, TJ=512, LB=256):
     """Drop-in replacement for transforms.legendre_analysis on TPU.
 
     E, O [nm, J] complex (quadrature-folded even/odd ring pairs) -> alm
