@@ -6,15 +6,18 @@ every ray + geodesic propagation — the per-plane unit of the multiple-plane
 ray trace (reference raytrace.c:131-269).
 
 Runs on whatever jax.devices() provides (TPU under axon, else CPU).  Shapes
-via env: BENCH_SHT_ORDER (default 11 -> NSIDE 2048, the BASELINE 220deg^2
-validation resolution), BENCH_RAY_ORDER (default 10 -> 12.6M rays),
-BENCH_NPART (default 2^21 particles).
+via env: BENCH_SHT_ORDER (default 12 -> NSIDE 4096, the BASELINE headline
+metric), BENCH_RAY_ORDER (default 10 -> 12.6M rays), BENCH_NPART (default
+2^21 particles).
 
-vs_baseline compares against an estimated reference throughput of 2.0e5
-rays/sec for the same step: CALCLENS publishes no numbers (BASELINE.md), so
-this is the SHT operation count ~2 * 0.7 * lmax^2 * 2*nside * 10 flops at an
-effective 320 GFLOP/s for the README's recommended 128-core CPU allocation
-(README.md:118-120), plus deposit/interp/rayprop at similar cost share.
+vs_baseline compares against the MEASURED reference throughput: the actual
+CALCLENS binary built from /root/reference against single-rank stubs
+(tools/refbaseline) and run on this machine's CPU with the same shapes
+(NSIDE, ray count, particle count).  Measured per-core step times are in
+BASELINE.md; vs_baseline assumes the README's recommended 128-core
+allocation with PERFECT scaling (generous to the reference — it reports a
+"factor of two" SHT imbalance, healpix_shtrans.c:586-591).
+vs_baseline_per_core is the same ratio against one reference core.
 """
 
 import json
@@ -28,11 +31,26 @@ import jax.numpy as jnp
 from calclens_tpu.config import RayTraceConfig
 from calclens_tpu.driver import Raytracer
 
-BASELINE_RAYS_PER_SEC = 2.0e5  # estimated 128-core reference (see docstring)
+# Measured single-core reference step times (s/plane), 12.6M rays (rayOrder
+# 10), 2M particles, gcc -O3 -march=native (tools/refbaseline; BASELINE.md).
+# Orders without a measurement extrapolate the SHT part as lmax^3 from the
+# nearest measured order (SHT+shuffle dominate: 94% of the step at 1024).
+REF_MEASURED_STEP_S = {10: 233.8}  # order -> s/plane (1 core)
+REF_CLUSTER_CORES = 128  # README.md:118-120 recommended allocation
+
+
+def reference_step_seconds(sht_order: int) -> float:
+    if sht_order in REF_MEASURED_STEP_S:
+        return REF_MEASURED_STEP_S[sht_order]
+    base = max(REF_MEASURED_STEP_S)
+    t = REF_MEASURED_STEP_S[base]
+    sht_share = 0.94 * t  # SHT+SHTSolve+MapShuffle share at order 10
+    other = t - sht_share
+    return sht_share * 8.0 ** (sht_order - base) + other
 
 
 def main():
-    sht_order = int(os.environ.get("BENCH_SHT_ORDER", 10))
+    sht_order = int(os.environ.get("BENCH_SHT_ORDER", 12))
     ray_order = int(os.environ.get("BENCH_RAY_ORDER", 10))
     npart = int(os.environ.get("BENCH_NPART", 1 << 21))
 
@@ -79,11 +97,22 @@ def main():
 
     per_plane = float(np.median(times))
     rays_per_sec = nrays / per_plane
+    # reference throughput at the same shapes: step time scales with the
+    # SHT (lmax^3) but is ray-count independent above the measured rayOrder
+    # 10 only through RayProp (2.8 s of 234 s) — scale rays linearly
+    ref_core_step = reference_step_seconds(sht_order) * (
+        1.0 if ray_order <= 10 else
+        1.0 + 0.012 * (4.0 ** (ray_order - 10) - 1.0))
+    ref_core_rays = nrays / ref_core_step
+    ref_cluster_rays = ref_core_rays * REF_CLUSTER_CORES
     print(json.dumps({
         "metric": f"rays_per_sec_plane_step_nside{1 << sht_order}",
         "value": rays_per_sec,
         "unit": "rays/s",
-        "vs_baseline": rays_per_sec / BASELINE_RAYS_PER_SEC,
+        "vs_baseline": rays_per_sec / ref_cluster_rays,
+        "vs_baseline_per_core": rays_per_sec / ref_core_rays,
+        "baseline_ref_core_s_per_plane": ref_core_step,
+        "baseline_measured_at": sorted(REF_MEASURED_STEP_S),
         "per_plane_s": per_plane,
         "nrays": nrays,
         "npart": npart,

@@ -112,10 +112,32 @@ def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
 RAY_CHUNK = 1 << 24
 
 
-def _ray_side_packed(tab, maps, packed, scal, born):
+def _ray_side_packed(tab, maps, packed, scal, born, plan=None):
     """SoA interpolation + propagation on the packed f32[21, N] ray buffer
-    (rays/soa.py): componentwise math, no small trailing dims, chunked."""
+    (rays/soa.py): componentwise math, no small trailing dims, chunked.
+
+    On a mesh with full-sky RING-ordered rays this dispatches to the halo-
+    exchange path (parallel/halo.py): the six maps stay block-sharded and
+    each shard gathers taps from its block plus an H-pixel halo, so no
+    participant materializes a full [npix] map."""
     from .rays import soa
+
+    if plan is not None and plan.spec is not None:
+        n = plan.spec.mesh.devices.size
+        N = packed.shape[1]
+        # full-sky ray buffer at some order? (N = 12 * 4^ray_order)
+        log2q = max((N // 12).bit_length() - 1, 0)
+        ray_order = log2q // 2
+        fullsky = log2q % 2 == 0 and N == 12 * 4**ray_order
+        if fullsky and N % n == 0 and plan.npix % n == 0:
+            from .parallel import halo
+
+            maps6 = maps if isinstance(maps, jnp.ndarray) else jnp.stack(
+                [maps.pot, maps.gt, maps.gp, maps.gtt, maps.gtp, maps.gpp])
+            H = halo.required_halo(ray_order, plan.order, n)
+            return halo.interp_and_prop_sharded(
+                tab, maps6, packed, scal.wp, scal.wpm1, scal.wpm2, born,
+                plan.spec.mesh, H, ray_order, plan.order)
 
     def block(b):
         return soa.interp_and_prop_chunk(tab, maps, b, scal.wp, scal.wpm1,
@@ -131,6 +153,20 @@ def _ray_side(tab, maps, rays, scal, born):
 
     out = _ray_side_packed(tab, maps, soa.pack(rays), scal, born)
     return soa.unpack(out)
+
+
+def _cst_blocks(plan, density):
+    """Constrain a flat [.., npix] map to contiguous pixel blocks on the mesh:
+    the deposit's global reduction becomes a reduce-scatter instead of a
+    full-map all-reduce (reference map_shuffle.c:633-875 peano2ring-as-sum)."""
+    if plan.spec is None:
+        return density
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel.sharding import AXIS
+
+    spec = P(*((None,) * (density.ndim - 1)), AXIS)
+    return jax.lax.with_sharding_constraint(
+        density, NamedSharding(plan.spec.mesh, spec))
 
 
 def _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph):
@@ -152,6 +188,7 @@ def _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph):
         density = dep.deposit_cic(tab, pos, mass)
     else:
         density = dep.deposit_ngp(plan.order, pos, mass, plan.npix)
+    density = _cst_blocks(plan, density)
     density = dep.scale_density(density, scal.densfact, scal.backdens,
                                 pixarea, vacmask)
     return solve_potential(plan, density)
@@ -167,7 +204,7 @@ def plane_step_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed, pos,
 
     packed = soa.zero_plane_rows(packed)
     maps = _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph)
-    packed = _ray_side_packed(tab, maps, packed, scal, born)
+    packed = _ray_side_packed(tab, maps, packed, scal, born, plan)
     return packed, (maps if with_maps else None)
 
 
@@ -192,7 +229,7 @@ def plane_step_density_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed,
     density = dep.scale_density(density, scal.densfact, scal.backdens,
                                 pixarea, vacmask)
     maps = solve_potential(plan, density)
-    packed = _ray_side_packed(tab, maps, packed, scal, born)
+    packed = _ray_side_packed(tab, maps, packed, scal, born, plan)
     return packed, (maps if with_maps else None)
 
 

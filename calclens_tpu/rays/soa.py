@@ -125,14 +125,19 @@ def _tangent_basis(nx, ny, nz):
 # field interpolation + propagation (one fused chunk step)
 # ----------------------------------------------------------------------------
 
-def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool):
+def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool,
+                          pix_base=None):
     """packed chunk f32[21, c]: interpolate (pot, alpha, U) from the six
     field maps with 4-pixel bilinear + parallel transport, then propagate to
     radius wp.  Returns the updated packed chunk.
 
     maps: FieldMaps or a stacked [6, npix] array (pot, gt, gp, gtt, gtp,
     gpp rows) — the stacked form fetches all six fields per tap in ONE
-    row-gather (3.4x faster than six separate gathers on TPU)."""
+    row-gather (3.4x faster than six separate gathers on TPU).
+
+    pix_base: when maps is a WINDOW of the full map (sharded halo-exchange
+    path, parallel/halo.py), the global RING index of the window's first
+    column; tap indices are translated and clipped into the window."""
     maps6 = maps if isinstance(maps, jnp.ndarray) else jnp.stack(
         [maps.pot, maps.gt, maps.gp, maps.gtt, maps.gtp, maps.gpp])
     r = chunk
@@ -158,6 +163,8 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool):
         cvec = jaxhp.pix2vec_ring(pk, tab.order, dtype=nx.dtype)
         cx, cy, cz = cvec[..., 0], cvec[..., 1], cvec[..., 2]
         c_, s_ = _transport_psi(cx, cy, cz, hx, hy, hz)
+        if pix_base is not None:
+            pk = jnp.clip(pk - pix_base, 0, maps6.shape[1] - 1)
         f = maps6[:, pk]  # one row-gather: [6, c]
         pot = pot + f[0] * wk
         gt, gp = f[1], f[2]

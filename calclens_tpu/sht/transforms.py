@@ -62,6 +62,35 @@ def _cst(plan, x, spec_name):
     return jax.lax.with_sharding_constraint(x, sp)
 
 
+def _cst_rings2(plan, x):
+    """Constrain the trailing [nrings_pad, ...] axes to ring sharding for an
+    array with any number of leading stream axes.  This marks the ring-space
+    side of the ring<->m transpose: without it GSPMD all-gathers the full
+    [nrings_pad, nm] complex matrices on every device (the NSIDE 8192 memory
+    wall) instead of inserting the all-to-all."""
+    if plan.spec is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.sharding import AXIS
+
+    spec = P(*((None,) * (x.ndim - 2)), AXIS, None)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(plan.spec.mesh, spec))
+
+
+def _cst_blocks1(plan, x):
+    """Constrain the trailing [npix] axis to contiguous pixel blocks (the
+    flat-map sharding consumed by the halo-exchange interpolation)."""
+    if plan.spec is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.sharding import AXIS
+
+    spec = P(*((None,) * (x.ndim - 1)), AXIS)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(plan.spec.mesh, spec))
+
+
 # ----------------------------------------------------------------------------
 # ring-space stages
 # ----------------------------------------------------------------------------
@@ -94,7 +123,7 @@ def analysis_rings(plan: SHTPlan, maps):
     G[r, m] = sum_p map(r,p) exp(-i m phi_rp) = e^{-i m phi0} DFT_n(x)[m mod n]
     """
     if getattr(plan, "use_rings_v2", True):
-        return _ring_stage(plan).analysis(maps)
+        return _cst_rings2(plan, _ring_stage(plan).analysis(maps))
     X = plan.map_to_rings(maps)  # [..., R, P]
     lead = X.shape[:-2]
     Xf = X.reshape((-1,) + X.shape[-2:])
@@ -106,7 +135,7 @@ def analysis_rings(plan: SHTPlan, maps):
         G = jnp.take_along_axis(F, mmod.astype(jnp.int32), axis=1)
         out.append(G * _ring_phase(plan, -1))
     res = jnp.stack(out, axis=0)
-    return res.reshape(lead + res.shape[-2:])
+    return _cst_rings2(plan, res.reshape(lead + res.shape[-2:]))
 
 
 def synthesis_rings(plan: SHTPlan, Q):
@@ -121,6 +150,7 @@ def synthesis_rings(plan: SHTPlan, Q):
     """
     # measured on v5e at NSIDE 1024 (2 streams): uniform 1.48 s,
     # hybrid 1.82 s, bucketed v2 3.2 s — uniform CZT stays the default
+    Q = _cst_rings2(plan, Q)  # m-sharded -> ring-sharded (the transpose)
     mode = getattr(plan, "synthesis_rings_mode", "uniform")
     if mode == "hybrid":
         return _ring_stage(plan).synthesis_hybrid(Q)
@@ -136,7 +166,7 @@ def synthesis_rings(plan: SHTPlan, Q):
                         sign=+1, cdtype=plan.cdtype, block=plan.ring_block)
         out.append(plan.rings_to_map(jnp.real(X).astype(plan.dtype)))
     res = jnp.stack(out, axis=0)
-    return res.reshape(lead + res.shape[-1:])
+    return _cst_blocks1(plan, res.reshape(lead + res.shape[-1:]))
 
 
 def fold_pairs(plan: SHTPlan, G):

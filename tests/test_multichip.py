@@ -33,3 +33,69 @@ def test_sharded_buffers_actually_sharded():
     _, (packed, pos, mass, _) = g._build(order_sht=5, order_ray=5, mesh=mesh)
     assert len(packed.sharding.device_set) == 8
     assert len(pos.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_required_halo_bounds_all_taps():
+    """The quantization bound from required_halo must cover every bilinear
+    tap of every ray at its initial pixel center, for mixed ray/map orders."""
+    from calclens_tpu.healpix import core as hp
+    from calclens_tpu.healpix import jaxhp
+    from calclens_tpu.parallel.halo import required_halo
+
+    for ray_order, map_order, n in [(5, 5, 8), (6, 4, 8), (4, 6, 8),
+                                    (7, 7, 8), (5, 7, 4)]:
+        npix_ray = int(hp.order2npix(ray_order))
+        npix_map = int(hp.order2npix(map_order))
+        H = required_halo(ray_order, map_order, n, drift_rad=0.0)
+        tab = jaxhp.InterpTables(map_order, dtype=jnp.float64)
+        v = np.asarray(jaxhp.pix2vec_ring(
+            jnp.arange(npix_ray, dtype=jnp.int32), ray_order,
+            dtype=jnp.float64))
+        theta, phi = jaxhp.vec2ang(jnp.asarray(v))
+        pix4, _ = jaxhp.get_interpol_soa(tab, theta, phi)
+        blk_ray = npix_ray // n
+        blk_map = npix_map // n
+        shard = np.arange(npix_ray) // blk_ray
+        lo = shard * blk_map - H
+        hi = (shard + 1) * blk_map + H
+        for k in range(4):
+            pk = np.asarray(pix4[k])
+            # pole folds are block-local by construction: exclude wrapped
+            # taps that sit in the first/last 4 pixels of the map
+            fold = (pk < 4) | (pk >= npix_map - 4)
+            inwin = (pk >= lo) & (pk < hi)
+            assert np.all(inwin | fold), (
+                ray_order, map_order, n, k,
+                int(np.abs(np.where(inwin, 0, pk - np.clip(pk, lo, hi - 1))).max()))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_interp_no_full_map_gather():
+    """The halo path must move only halos (collective-permute), never
+    all-gather the field maps — the NSIDE 8192 memory requirement."""
+    from calclens_tpu.healpix import jaxhp
+    from calclens_tpu.parallel import halo
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from calclens_tpu.parallel.sharding import AXIS
+    from calclens_tpu.rays import soa
+
+    order = 6
+    npix = 12 * 4**order
+    mesh = make_mesh(8)
+    tab = jaxhp.InterpTables(order, dtype=jnp.float64)
+    H = halo.required_halo(order, order, 8)
+    wp = jnp.asarray(1000.0)
+    lowered = jax.jit(
+        lambda m6, pk: halo.interp_and_prop_sharded(
+            tab, m6, pk, wp, jnp.asarray(750.0), jnp.asarray(500.0),
+            False, mesh, H, order, order),
+        in_shardings=(NamedSharding(mesh, P(None, AXIS)),
+                      NamedSharding(mesh, P(None, AXIS))),
+    ).lower(
+        jax.ShapeDtypeStruct((6, npix), jnp.float64),
+        jax.ShapeDtypeStruct((21, npix), jnp.float64),
+    )
+    txt = lowered.compile().as_text()
+    assert "collective-permute" in txt
+    assert "all-gather" not in txt
