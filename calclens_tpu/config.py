@@ -101,6 +101,9 @@ class RayTraceConfig:
     Precision: str = "f32"            # f32 | f64 device compute dtype
     MeshShape: str = ""               # e.g. "8" or "4x2" for the SHT mesh
     SmoothingBeamFWHM: float = 0.0    # Gaussian l-space beam FWHM [rad]; 0 = off
+    Profile: bool = False             # per-phase timing rows (profile.c analog):
+    # splits the fused plane step at phase boundaries with device syncs, so
+    # steps are a few % slower but timing.0 gains reference-style columns
 
     # derived (filled by finalize)
     UseHEALPixLensPlaneMaps: bool = False

@@ -135,6 +135,13 @@ class Raytracer:
         # particle arrays are padded to bucket multiples so the jitted plane
         # step compiles once per bucket size, not once per plane
         self.part_bucket = 4096
+        # per-phase profiler (reference profile.c tags); populated only in
+        # cfg.Profile mode, where the plane step runs phase-split with a
+        # device sync at each boundary
+        from .utils.profile import Profiler
+
+        self.profiler = Profiler()
+        self.phase_rows = []
 
     # ------------------------------------------------------------------
     def active_ray_pixels(self):
@@ -331,6 +338,9 @@ class Raytracer:
         if (pos is None and not self.cfg.ThreeDPot
                 and not self.cfg.UseHEALPixLensPlaneMaps):
             pos, mass = self.load_particles(plane_num)
+            if self.cfg.Profile:
+                self._note_phase(plane_num, "PARTIO",
+                                 time.perf_counter() - t0)
         pos = pos if pos is not None else []
         mass = mass if mass is not None else []
         scal = PlaneScalars(
@@ -393,6 +403,9 @@ class Raytracer:
                 self.plan, self.tab, self.mgsetup, self.rays_packed,
                 jnp.asarray(self.ray_nest), pos_d, mass_d,
                 self.cfg.DepositScheme, self.cfg.BornApprx, scal, vacmask)
+        elif len(pos) and self.cfg.Profile and self.cfg.DepositScheme != "SPH":
+            packed, maps = self._step_profiled(plane_num, pos, mass, scal,
+                                               vacmask, with_maps)
         elif len(pos):
             pos_d, mass_d = self._pad_particles(pos, mass)
             packed, maps = plane_step_packed(
@@ -412,6 +425,59 @@ class Raytracer:
             lm.write_debug_field_maps(maps, self.cfg.poissonOrder,
                                       self.cfg.OutputPath, plane_num)
         return maps
+
+    # ------------------------------------------------------------------
+    def _note_phase(self, plane_num, tag, dt):
+        """Attach an out-of-step phase time (PartIO/GridSearch/RayIO/
+        Restart) to the plane's timing.0 row."""
+        for p, r in self.phase_rows:
+            if p == plane_num:
+                r[tag] = r.get(tag, 0.0) + dt
+                break
+        else:
+            self.phase_rows.append((plane_num, {tag: dt}))
+        prof = self.profiler
+        prof.total[tag] = prof.total.get(tag, 0.0) + dt
+        prof.count[tag] = prof.count.get(tag, 0) + 1
+
+    def _step_profiled(self, plane_num, pos, mass, scal, vacmask, with_maps):
+        """Phase-split plane step with per-phase host timing (reference
+        per-plane phase rows, shtpoissonsolve.c:521-576 + profile.c).  A
+        scalar fetch at each boundary is the device sync (block_until_ready
+        is unreliable through the axon tunnel)."""
+        from .poisson import (phase_deposit, phase_analysis, phase_synthesis,
+                              phase_rayside)
+
+        prof = self.profiler
+        row = None
+        for pnum, r in self.phase_rows:
+            if pnum == plane_num:
+                row = r
+                break
+        if row is None:
+            row = {}
+            self.phase_rows.append((plane_num, row))
+
+        def phase(tag, fn, *args, sync=None, **kw):
+            t0 = time.perf_counter()
+            out = fn(*args, **kw)
+            probe = out if sync is None else sync(out)
+            float(jnp.sum(jnp.ravel(probe)[:1]))
+            row[tag] = time.perf_counter() - t0
+            prof.total[tag] = prof.total.get(tag, 0.0) + row[tag]
+            prof.count[tag] = prof.count.get(tag, 0) + 1
+            return out
+
+        pos_d, mass_d = self._pad_particles(pos, mass)
+        density = phase("DEPOSIT", phase_deposit, self.plan, self.tab,
+                        pos_d, mass_d, self.cfg.DepositScheme, scal, vacmask)
+        alm = phase("SHTSOLVE", phase_analysis, self.plan, density,
+                    sync=lambda a: jnp.abs(a[0]))
+        maps = phase("SHT", phase_synthesis, self.plan, alm,
+                     sync=lambda m: m.pot)
+        packed = phase("RAYPROP", phase_rayside, self.plan, self.tab,
+                       self.rays_packed, maps, scal, self.cfg.BornApprx)
+        return packed, (maps if with_maps else None)
 
     # ------------------------------------------------------------------
     def restart_path(self):
@@ -486,12 +552,16 @@ class Raytracer:
                     gal_pos, gal_idx, p, binL, cfg.NumLensPlanes,
                     cfg.maxComvDistance)
                 if len(ppos):
+                    tgs = time.perf_counter()
                     pp = plane_params(cfg, self.cosmo, p)
                     images = gs.find_images(cfg, gs_tables, self.rays, ppos,
                                             pidx, pp.rad, pp.rad_minus1,
                                             nest2index=gs_tables.ring_of_nest)
                     if cfg.GalOutputName:
                         galsio.write_image_gals(cfg, images, p)
+                    if cfg.Profile:
+                        self._note_phase(p, "GRIDSEARCH",
+                                         time.perf_counter() - tgs)
             self.step(p)
             if progress:
                 pp = plane_params(self.cfg, self.cosmo, p)
@@ -502,16 +572,21 @@ class Raytracer:
                     file=sys.stderr,
                 )
             if p in map_planes and cfg.OutputPath:
+                tio = time.perf_counter()
                 if cfg.MaxResMap and cfg.RayOutputName:
                     rayio.write_rays(cfg, self.rays, self.ray_nest, self.map_num)
                 self._write_map_outputs()
                 self.map_num += 1
+                if cfg.Profile:
+                    self._note_phase(p, "RAYIO", time.perf_counter() - tio)
             now = time.perf_counter()
             step_t = self.timings[-1][1]
             if cfg.OutputPath and (
                 now - t_last_restart > cfg.WallTimeBetweenRestart
             ):
                 self.save_restart()
+                if cfg.Profile:
+                    self._note_phase(p, "RESTART", time.perf_counter() - now)
                 t_last_restart = now
             if now - t_start > cfg.WallTimeLimit - 5.0 * step_t:
                 # graceful preemption (raytrace.c:143-149)
@@ -527,14 +602,31 @@ class Raytracer:
 
     def write_timing(self):
         """Per-plane step times (the reference's timing.0 rows,
-        raytrace.c:54-64, 338-343)."""
+        raytrace.c:54-64, 338-343).  In cfg.Profile mode the rows carry the
+        reference-style per-phase columns (Deposit, SHTSolve=analysis+filter,
+        SHT=derivative synthesis, RayProp=interp+propagate, PartIO,
+        GridSearch, RayIO, Restart)."""
         import os
 
         path = os.path.join(self.cfg.OutputPath, "timing.0")
+        phases = ("DEPOSIT", "SHTSOLVE", "SHT", "RAYPROP", "PARTIO",
+                  "GRIDSEARCH", "RAYIO", "RESTART")
+        prow = {p: r for p, r in self.phase_rows}
         with open(path, "w") as fp:
-            fp.write("# plane StepTime[s]\n")
-            for p, t in self.timings:
-                fp.write(f"{p} {t:.6f}\n")
+            if self.cfg.Profile:
+                fp.write("# plane StepTime " +
+                         " ".join(t.title() for t in phases) + "\n")
+                for p, t in self.timings:
+                    r = prow.get(p, {})
+                    fp.write(f"{p} {t:.6f} " +
+                             " ".join(f"{r.get(k, 0.0):.6f}" for k in phases)
+                             + "\n")
+            else:
+                fp.write("# plane StepTime[s]\n")
+                for p, t in self.timings:
+                    fp.write(f"{p} {t:.6f}\n")
+        if self.cfg.Profile:
+            self.profiler.write(os.path.join(self.cfg.OutputPath, "timing"))
 
     # ------------------------------------------------------------------
     def propagate_to_cmb(self, z_cmb=1100.0, map_order=None):

@@ -308,3 +308,52 @@ def empty_plane_step(born: bool, rays, scal: PlaneScalars):
     reference's zero-particle NOBACKDENS skip, poissondrivers.c:82-157)."""
     rays = rp.zero_plane_fields(rays)
     return rp.rayprop_sphere(rays, scal.wp, scal.wpm1, scal.wpm2, born=born)
+
+
+# ----------------------------------------------------------------------------
+# phase-split entry points (cfg.Profile observability mode): the same plane
+# step cut at the reference's phase boundaries so the driver can host-time
+# each phase with a device sync between (profile.c tags; per-plane rows in
+# shtpoissonsolve.c:521-576).  A few % slower than the fused step (lost
+# cross-phase overlap) — enabled only when profiling.
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0, 1, 4))
+def phase_deposit(plan: SHTPlan, tab, pos, mass, scheme: str,
+                  scal: PlaneScalars, vacmask=None):
+    """Particles -> scaled surface-density map (DEPOSIT)."""
+    pixarea = 4.0 * jnp.pi / plan.npix
+    if scheme == "CIC":
+        density = dep.deposit_cic(tab, pos, mass)
+    else:
+        density = dep.deposit_ngp(plan.order, pos, mass, plan.npix)
+    density = _cst_blocks(plan, density)
+    return dep.scale_density(density, scal.densfact, scal.backdens,
+                             pixarea, vacmask)
+
+
+@partial(jax.jit, static_argnums=0)
+def phase_analysis(plan: SHTPlan, density):
+    """density -> Poisson-filtered alm (SHTSOLVE: map2alm + -1/l(l+1))."""
+    alm = T.map2alm(plan, density)
+    ls = jnp.arange(plan.nl, dtype=plan.dtype)[:, None]
+    inv = jnp.where(ls > 0, -1.0 / jnp.maximum(ls * (ls + 1.0), 1.0), 0.0)
+    if plan.window_dev is not None:
+        inv = inv * plan.window_dev[:, None]
+    return alm * inv.astype(plan.dtype)
+
+
+@partial(jax.jit, static_argnums=0)
+def phase_synthesis(plan: SHTPlan, alm):
+    """alm -> six field maps (SHT: alm2allmaps)."""
+    return FieldMaps(*T.alm2allmaps(plan, alm))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5), donate_argnums=(2,))
+def phase_rayside(plan: SHTPlan, tab, packed, maps, scal: PlaneScalars,
+                  born: bool):
+    """Interp + propagate on the packed buffer (INTERP+RAYPROP)."""
+    from .rays import soa
+
+    packed = soa.zero_plane_rows(packed)
+    return _ray_side_packed(tab, maps, packed, scal, born, plan)
