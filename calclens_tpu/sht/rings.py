@@ -25,6 +25,7 @@ size at high orders.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .czt import czt
@@ -140,10 +141,13 @@ class RingStage:
 
     def _gather_rows(self, maps, start, width, nvec=None):
         """maps[..., npix] -> [..., rows, width] rows starting at start[r]."""
-        j = jnp.arange(width, dtype=jnp.int64)
-        idx = jnp.asarray(start)[:, None] + j[None, :]
+        # int32 holds npix up to order 13 (NSIDE 8192, npix ~ 8e8 < 2^31);
+        # use int64 only when the runtime actually provides it (x64 mode)
+        itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        j = jnp.arange(width, dtype=itype)
+        idx = jnp.asarray(np.asarray(start, itype))[:, None] + j[None, :]
         if nvec is not None:
-            mask = j[None, :] < jnp.asarray(nvec, jnp.int64)[:, None]
+            mask = j[None, :] < jnp.asarray(nvec, itype)[:, None]
             idx = jnp.where(mask, idx, 0)
         X = jnp.take(maps, idx.reshape(-1), axis=-1)
         X = X.reshape(maps.shape[:-1] + idx.shape)
@@ -250,10 +254,11 @@ class RingStage:
         off = self.ne_pad * P
         for kk, r in enumerate(cap_rows):
             base[r] = off + kk * nmax
-        p = jnp.arange(self.npix, dtype=jnp.int64)
-        sp = jnp.asarray(self.startpix, jnp.int64)
+        itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        p = jnp.arange(self.npix, dtype=itype)
+        sp = jnp.asarray(self.startpix.astype(itype))
         r = jnp.searchsorted(sp, p, side="right") - 1
-        idx = jnp.asarray(base)[r] + (p - sp[r])
+        idx = jnp.asarray(base.astype(itype))[r] + (p - sp[r])
         return jnp.take(allv, idx, axis=-1)
 
     def synthesis(self, Q):
@@ -311,8 +316,9 @@ class RingStage:
         allv = jnp.concatenate(pieces, axis=-1)
         # map[p] = allv[piece_base[ring(p)] + offset(p)] with ring/offset
         # computed in-graph (no O(npix) constant index table)
-        p = jnp.arange(self.npix, dtype=jnp.int64)
-        sp = jnp.asarray(self.startpix, jnp.int64)
+        itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        p = jnp.arange(self.npix, dtype=itype)
+        sp = jnp.asarray(self.startpix.astype(itype))
         r = jnp.searchsorted(sp, p, side="right") - 1
-        idx = jnp.asarray(self.piece_base)[r] + (p - sp[r])
+        idx = jnp.asarray(self.piece_base.astype(itype))[r] + (p - sp[r])
         return jnp.take(allv, idx, axis=-1)
