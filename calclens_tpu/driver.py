@@ -143,6 +143,15 @@ class Raytracer:
         self.profiler = Profiler()
         self.phase_rows = []
 
+    @property
+    def _phased_step(self):
+        """Run the plane step phase-split (separate jits with host syncs)
+        instead of fully fused: required for profiling, and at NSIDE >= 4096
+        single-chip where the fused step cannot fit HBM (the synthesis must
+        be host-streamed over j-blocks; poisson.phase_synthesis_host)."""
+        return self.cfg.Profile or (
+            self.plan.spec is None and self.cfg.SHTOrder >= 12)
+
     # ------------------------------------------------------------------
     def active_ray_pixels(self):
         """nest pixel indices at rayOrder inside the configured sky box
@@ -403,7 +412,7 @@ class Raytracer:
                 self.plan, self.tab, self.mgsetup, self.rays_packed,
                 jnp.asarray(self.ray_nest), pos_d, mass_d,
                 self.cfg.DepositScheme, self.cfg.BornApprx, scal, vacmask)
-        elif len(pos) and self.cfg.Profile and self.cfg.DepositScheme != "SPH":
+        elif len(pos) and self._phased_step and self.cfg.DepositScheme != "SPH":
             packed, maps = self._step_profiled(plane_num, pos, mass, scal,
                                                vacmask, with_maps)
         elif len(pos):
@@ -445,8 +454,8 @@ class Raytracer:
         per-plane phase rows, shtpoissonsolve.c:521-576 + profile.c).  A
         scalar fetch at each boundary is the device sync (block_until_ready
         is unreliable through the axon tunnel)."""
-        from .poisson import (phase_deposit, phase_analysis, phase_synthesis,
-                              phase_rayside)
+        from .poisson import (phase_deposit, phase_analysis,
+                              phase_synthesis_host, phase_rayside)
 
         prof = self.profiler
         row = None
@@ -473,8 +482,10 @@ class Raytracer:
                         pos_d, mass_d, self.cfg.DepositScheme, scal, vacmask)
         alm = phase("SHTSOLVE", phase_analysis, self.plan, density,
                     sync=lambda a: jnp.abs(a[0]))
-        maps = phase("SHT", phase_synthesis, self.plan, alm,
+        del density  # free before the synthesis peak (0.75 GB at NSIDE 4096)
+        maps = phase("SHT", phase_synthesis_host, self.plan, alm,
                      sync=lambda m: m.pot)
+        del alm  # free before the ray-side gathers (1.1 GB at NSIDE 4096)
         packed = phase("RAYPROP", phase_rayside, self.plan, self.tab,
                        self.rays_packed, maps, scal, self.cfg.BornApprx)
         return packed, (maps if with_maps else None)

@@ -349,6 +349,18 @@ def phase_synthesis(plan: SHTPlan, alm):
     return FieldMaps(*T.alm2allmaps(plan, alm))
 
 
+def phase_synthesis_host(plan: SHTPlan, alm):
+    """Host-level synthesis dispatch: at NSIDE >= 4096 single-chip, stream
+    the six-map synthesis over j-blocks as separate jit calls so each
+    block's temporaries are freed before the next block runs (the only way
+    to bound peak HBM — the TPU compiler deletes in-graph optimization
+    barriers; see transforms.alm2allmaps_host_streamed)."""
+    nblk = T._synth_stream_blocks(plan)
+    if nblk > 1:
+        return FieldMaps(*T.alm2allmaps_host_streamed(plan, alm, nblk))
+    return phase_synthesis(plan, alm)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 5), donate_argnums=(2,))
 def phase_rayside(plan: SHTPlan, tab, packed, maps, scal: PlaneScalars,
                   born: bool):

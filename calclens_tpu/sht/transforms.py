@@ -191,6 +191,32 @@ def unfold_pairs(plan: SHTPlan, qN, qS):
 # Legendre recurrence core
 # ----------------------------------------------------------------------------
 
+class _GeoView:
+    """Plan-shaped geometry window (see _geo_view)."""
+
+
+def _geo_view(plan: SHTPlan, j0: int, j1: int):
+    """A plan-shaped view whose ring-pair geometry is restricted to columns
+    [j0, j1) — the unit of the j-blocked streaming synthesis.  Cached on the
+    plan so jit treats each window as one static object."""
+    if j0 == 0 and j1 == plan.J:
+        return plan
+    views = getattr(plan, "_geo_views", None)
+    if views is None:
+        views = plan._geo_views = {}
+    v = views.get((j0, j1))
+    if v is None:
+        v = _GeoView()  # identity-hashable (SimpleNamespace is not)
+        v.J, v.nm, v.nl, v.lblock = j1 - j0, plan.nm, plan.nl, plan.lblock
+        v.dtype, v.cdtype, v.spec = plan.dtype, plan.cdtype, None
+        v.use_pallas = getattr(plan, "use_pallas", None)
+        v.m_int, v.m_f = plan.m_int, plan.m_f
+        v.cth, v.sth = plan.cth[j0:j1], plan.sth[j0:j1]
+        v.cot, v.inv_sth = plan.cot[j0:j1], plan.inv_sth[j0:j1]
+        views[(j0, j1)] = v
+    return v
+
+
 def _lam_step(plan: SHTPlan, state, l_int):
     """One l step of the scaled lambda_lm recurrence for all (m, ring).
 
@@ -387,35 +413,228 @@ def alm2map(plan: SHTPlan, alm):
     return synthesis_rings(plan, Q[None])[0]
 
 
-def alm2allmaps(plan: SHTPlan, alm):
-    """alm -> (phi, d_theta, d_phi, d_theta_theta, d_theta_phi, d_phi_phi).
+def _synth_stream_blocks(plan):
+    """Number of j-blocks for the streamed synthesis (1 = off).  Streaming
+    bounds single-chip peak HBM: at NSIDE >= 4096 the unstreamed 6-map
+    synthesis peaks ~28 GB (measured via XLA memory_analysis) against a
+    16 GB chip.  The sharded multi-chip path divides memory by the mesh
+    instead, so streaming stays off there."""
+    nblk = getattr(plan, "synth_stream", None)
+    if nblk is not None:
+        return int(nblk)
+    if plan.spec is not None or plan.order < 12:
+        return 1
+    return 1 << (plan.order - 9)  # 8 at order 12, 16 at order 13
 
-    All derivatives are the covariant components on the orthonormal
-    (e_theta, e_phi) basis, matching the reference's outputs that feed the
-    deflection alpha = -grad(phi) and shear tensor U
-    (alm2allmaps_transpose_mpi.c:121-131, 1080-1147).
+
+def _rows_phase(plan: SHTPlan, r0: int, r1: int, sign):
+    """exp(sign*i*m*phi0_r) for the contiguous ring range [r0, r1)."""
+    m = jnp.asarray(plan.m_int)[None, :]
+    n = jnp.asarray(plan.n_dev[r0:r1])[:, None]
+    t = (m * jnp.asarray(plan.shift_dev[r0:r1])[:, None]) % (2 * n)
+    ph = (jnp.pi * sign) * (t.astype(plan.dtype) / n.astype(plan.dtype))
+    return (jnp.cos(ph) + 1j * jnp.sin(ph)).astype(plan.cdtype)
+
+
+def _czt_rows_padded(x, n, K, L, sign, cdtype, block):
+    """czt_blocked tolerant of row counts that don't divide `block`."""
+    from .czt import czt_blocked
+
+    R = x.shape[0]
+    block = min(block, R)
+    Rp = -(-R // block) * block
+    if Rp != R:
+        x = jnp.pad(x, ((0, Rp - R), (0, 0)))
+        n = np.concatenate([n, np.full(Rp - R, 4, n.dtype)])
+    return czt_blocked(x, jnp.asarray(n), K=K, L=L, sign=sign,
+                       cdtype=cdtype, block=block)[:R]
+
+
+def _rows_dft_belt(plan: SHTPlan, Y):
+    """Belt rows (ring length exactly P): exact inverse real DFT via a
+    Hermitian fold + irfft — ~4x leaner than the chirp-Z (modes m > P/2
+    alias onto P - m in the length-P ring sum)."""
+    P, nm = plan.P, Y.shape[-1]
+    kk = np.arange(P // 2 + 1)
+    direct_ok = kk < nm
+    kd = np.where(direct_ok, kk, 0)
+    fac = np.where((kk == 0) | (kk == P // 2), 1.0, 0.5)
+    direct = jnp.take(Y, kd, axis=-1) * jnp.asarray(
+        (fac * direct_ok).astype(np.float32))
+    ksrc = P - kk
+    fold_ok = (ksrc < nm) & (kk > 0) & (kk != P // 2)
+    ks = np.where(fold_ok, ksrc, 0)
+    folded = 0.5 * jnp.conj(jnp.take(Y, ks, axis=-1)) * jnp.asarray(
+        fold_ok.astype(np.float32))
+    return (jnp.fft.irfft(direct + folded, n=P, axis=-1) * P).astype(plan.dtype)
+
+
+def _rows_dft(plan: SHTPlan, Y, r0: int, r1: int):
+    """Per-ring inverse DFTs for contiguous rings [r0, r1): Y [k, rows, nm]
+    (wfold and ring phase already applied) -> X [k, rows, P] real.  Belt
+    rings dispatch to the irfft fold; cap rings to the chirp-Z."""
+    k, Rblk, nm = Y.shape
+    npr = np.asarray(plan.npix_ring[r0:r1])
+    belt = npr == plan.P
+    # belt rings form one contiguous sub-range of any contiguous ring range
+    idx = np.flatnonzero(belt)
+    pieces = []
+    bounds = ([r0, r0 + int(idx[0]), r0 + int(idx[-1]) + 1, r1]
+              if len(idx) else [r0, r1])
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b <= a:
+            continue
+        Yp = Y[:, a - r0: b - r0]
+        if plan.npix_ring[a] == plan.P:
+            pieces.append(_rows_dft_belt(plan, Yp))
+        else:
+            n_rows = np.tile(np.asarray(plan.n_dev[a:b]), k)
+            # smaller chunks than the full-map path: the L-length FFT temps
+            # dominate the streamed block's peak memory
+            X = _czt_rows_padded(Yp.reshape(k * (b - a), nm), n_rows,
+                                 K=plan.P, L=plan.L, sign=+1,
+                                 cdtype=plan.cdtype,
+                                 block=min(plan.ring_block, 1024))
+            pieces.append(jnp.real(X).astype(plan.dtype)
+                          .reshape(k, b - a, plan.P))
+    return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+
+
+def _synth_ring_rows(plan: SHTPlan, S, r0: int, r1: int):
+    """Ring-synthesize rows for the contiguous ring range [r0, r1).
+
+    S [k, r1-r0, nm] complex q-values per ring -> pixel values [k, seg]
+    where seg = startpix[r1] - startpix[r0] (contiguous in the RING map).
     """
-    qN, qS = _legendre_synth_dispatch(plan, alm, True)
-    qphi = unfold_pairs(plan, qN[0], qS[0])
-    qth = unfold_pairs(plan, qN[1], qS[1])
-    qthth = unfold_pairs(plan, qN[2], qS[2])
+    k, Rblk, nm = S.shape
+    wfold = jnp.asarray(np.where(np.arange(nm) == 0, 1.0, 2.0), plan.dtype)
+    Y = S * wfold[None, None, :] * _rows_phase(plan, r0, r1, +1)[None]
+    X = _rows_dft(plan, Y, r0, r1)
+    # segment extraction: pixel p in [startpix[r0], startpix[r1]) lives on
+    # ring r(p) at offset p - startpix[r(p)]
+    sp = np.append(plan.startpix[: plan.nrings], plan.npix)[r0: r1 + 1]
+    p0, p1 = int(sp[0]), int(sp[-1])
+    p = jnp.arange(p1 - p0, dtype=jnp.int32) + jnp.int32(p0)
+    spd = jnp.asarray(sp[:-1], jnp.int32)
+    r = jnp.searchsorted(spd, p, side="right") - 1
+    idx = r * plan.P + (p - spd[r])
+    return jnp.take(X.reshape(k, Rblk * plan.P), idx, axis=-1)
 
+
+def _streams_from_q(plan, qphi, qth, qthth):
+    """The six synthesis streams from the three Legendre kernels
+    (alm2allmaps_transpose_mpi.c:121-131); raw (pre 1/sin corrections)."""
     im = (1j * np.asarray(plan.m_f, plan.dtype)).astype(plan.cdtype)[None, :]
     m2 = np.asarray(plan.m_f**2, plan.dtype)[None, :]
-    streams = jnp.stack([
-        qphi,            # s0: phi
-        qth,             # s1: d_theta
-        qphi * im,       # s2: d_phi (raw, needs /sin)
-        qthth,           # s3: d_theta d_theta
-        qth * im,        # s4: d_theta d_phi (raw, needs /sin)
-        -(qphi * m2),    # s5: d_phi d_phi (raw, needs /sin^2)
-    ])
-    # chunk the six synthesis FFT pipelines in pairs: all six concurrently
-    # multiplies peak HBM ~6x (OOM at NSIDE >= 1024 on a 16 GB chip), while
-    # lax.map serializes so hard it is ~10x slower
-    s = jnp.concatenate([synthesis_rings(plan, streams[i: i + 2])
-                         for i in range(0, 6, 2)])
+    return jnp.stack([qphi, qth, qphi * im, qthth, qth * im, -(qphi * m2)])
 
+
+def _alm2allmaps_streamed(plan: SHTPlan, alm, nblk: int):
+    """j-blocked streaming synthesis: per block of ring pairs, run the
+    Legendre synthesis restricted to those rings, ring-synthesize only those
+    rows, and emit contiguous pixel segments; segments concatenate into the
+    full RING-ordered maps.  Peak memory is one block's working set plus the
+    six output maps (the reference bounds the same memory by 20-ring
+    chunking, alm2allmaps_transpose_mpi.c:76,256-261)."""
+    J, nrings = plan.J, plan.nrings
+    assert J % nblk == 0, (J, nblk)
+    Jblk = J // nblk
+    north_segs = []
+    south_segs = []
+    tok = jnp.zeros((), plan.dtype)
+    for b in range(nblk):
+        j0, j1 = b * Jblk, (b + 1) * Jblk
+        # serialize blocks: without the barrier XLA overlaps many blocks'
+        # stream buffers and peak memory grows right back (measured: 4-block
+        # streaming alone only got 28 GB down to 17 GB at NSIDE 4096)
+        alm_b, _ = jax.lax.optimization_barrier((alm, tok))
+        qN, qS = _legendre_synth_dispatch(_geo_view(plan, j0, j1), alm_b, True)
+        # q [nkern, nm, Jblk] -> ring rows [6 streams, rows, nm] (m last so
+        # the per-m im/m^2 stream factors broadcast on the trailing axis)
+        sN = _streams_from_q(plan, qN[0].T, qN[1].T, qN[2].T)
+        north_segs.append(_synth_ring_rows(plan, sN, j0, j1))
+        tok = jnp.real(north_segs[-1][0, 0])
+        j1s = min(j1, J - 1)  # the equator (j = J-1) has no southern ring
+        if j1s > j0:
+            njs = j1s - j0
+            # north/south serialized too: their stream+FFT working sets are
+            # each ~1/3 of the block peak
+            qS, _ = jax.lax.optimization_barrier((qS, tok))
+            sS = _streams_from_q(plan, qS[0, :, :njs][:, ::-1].T,
+                                 qS[1, :, :njs][:, ::-1].T,
+                                 qS[2, :, :njs][:, ::-1].T)
+            south_segs.append(
+                _synth_ring_rows(plan, sS, nrings - j1s, nrings - j0))
+            tok = tok + jnp.real(south_segs[-1][0, 0])
+    s = jnp.concatenate(north_segs + south_segs[::-1], axis=-1)
+    return _apply_covariant_corrections(plan, s)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm):
+    """One streaming block as a standalone jitted unit (host-streamed path):
+    alm -> (north pixel segment, south segment or None) for ring pairs
+    [j0, j1).  plan here is the _geo_view of the block."""
+    j0, j1 = Jblk_range
+    view = _geo_view(plan, j0, j1)
+    qN, qS = _legendre_synth_dispatch(view, alm, True)
+    sN = _streams_from_q(plan, qN[0].T, qN[1].T, qN[2].T)
+    north = _synth_ring_rows(plan, sN, j0, j1)
+    j1s = min(j1, full_J - 1)
+    south = None
+    if j1s > j0:
+        njs = j1s - j0
+        sS = _streams_from_q(plan, qS[0, :, :njs][:, ::-1].T,
+                             qS[1, :, :njs][:, ::-1].T,
+                             qS[2, :, :njs][:, ::-1].T)
+        south = _synth_ring_rows(plan, sS, nrings - j1s, nrings - j0)
+    return north, south
+
+
+@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1, 2))
+def _write_seg(plan, buf, seg, off: int):
+    return jax.lax.dynamic_update_slice(
+        buf, seg, (jnp.int32(0), jnp.int32(off)))
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=(1,))
+def _correct_maps(plan, s):
+    """Corrections on the stacked [6, npix] buffer, same-shape output so the
+    input buffer is donated (no second six-map allocation)."""
+    return jnp.stack(_apply_covariant_corrections(plan, s))
+
+
+def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
+    """Host-level streamed synthesis: one jit call per j-block, so the
+    runtime frees each block's temporaries before the next starts.  This is
+    the production single-chip path at NSIDE >= 4096: the in-graph streamed
+    variant cannot bound peak memory because the TPU compiler deletes
+    optimization barriers and overlaps the blocks (measured: 8-block
+    in-graph streaming still peaks 16.9 GB at NSIDE 4096 vs 15.75 GB HBM).
+    Segments are written into one donated [6, npix] buffer so assembly never
+    doubles the six maps.
+    """
+    J, nrings = plan.J, plan.nrings
+    assert J % nblk == 0, (J, nblk)
+    Jblk = J // nblk
+    sp_ext = np.append(plan.startpix[: plan.nrings], plan.npix)
+    buf = jnp.zeros((6, plan.npix), plan.dtype)
+    for b in range(nblk):
+        j0, j1 = b * Jblk, (b + 1) * Jblk
+        n_seg, s_seg = _synth_block_segments(plan, J, nrings, (j0, j1), alm)
+        # block_until_ready serializes the blocks at the host level
+        buf = _write_seg(plan, buf, jax.block_until_ready(n_seg),
+                         int(sp_ext[j0]))
+        if s_seg is not None:
+            j1s = min(j1, J - 1)
+            buf = _write_seg(plan, buf, jax.block_until_ready(s_seg),
+                             int(sp_ext[nrings - j1s]))
+    return _correct_maps(plan, buf)
+
+
+def _apply_covariant_corrections(plan, s):
+    """Six raw synthesized maps [6, npix] -> covariant outputs
+    (alm2allmaps_transpose_mpi.c:1080-1147)."""
     sth_pix = plan.rings_to_map(
         jnp.broadcast_to(plan.sth_ring[:, None], (plan.nrings_pad, plan.P))
     )
@@ -429,3 +648,28 @@ def alm2allmaps(plan: SHTPlan, alm):
     gtp = s[4] / sth_pix - cot_pix * gp
     gpp = s[5] / sth_pix**2 + cot_pix * gt
     return pot, gt, gp, gtt, gtp, gpp
+
+
+def alm2allmaps(plan: SHTPlan, alm):
+    """alm -> (phi, d_theta, d_phi, d_theta_theta, d_theta_phi, d_phi_phi).
+
+    All derivatives are the covariant components on the orthonormal
+    (e_theta, e_phi) basis, matching the reference's outputs that feed the
+    deflection alpha = -grad(phi) and shear tensor U
+    (alm2allmaps_transpose_mpi.c:121-131, 1080-1147).
+    """
+    nblk = _synth_stream_blocks(plan)
+    if nblk > 1:
+        return _alm2allmaps_streamed(plan, alm, nblk)
+    qN, qS = _legendre_synth_dispatch(plan, alm, True)
+    qphi = unfold_pairs(plan, qN[0], qS[0])
+    qth = unfold_pairs(plan, qN[1], qS[1])
+    qthth = unfold_pairs(plan, qN[2], qS[2])
+
+    streams = _streams_from_q(plan, qphi, qth, qthth)
+    # chunk the six synthesis FFT pipelines in pairs: all six concurrently
+    # multiplies peak HBM ~6x (OOM at NSIDE >= 1024 on a 16 GB chip), while
+    # lax.map serializes so hard it is ~10x slower
+    s = jnp.concatenate([synthesis_rings(plan, streams[i: i + 2])
+                         for i in range(0, 6, 2)])
+    return _apply_covariant_corrections(plan, s)
