@@ -430,7 +430,10 @@ class Raytracer:
         self.timings.append((plane_num, time.perf_counter() - t0))
         if maps is not None and self.cfg.DebugIO and self.cfg.OutputPath:
             from . import maps as lm
+            from .ops.interp import FieldMaps
 
+            if isinstance(maps, jnp.ndarray):  # stacked form (streamed path)
+                maps = FieldMaps(*maps)
             lm.write_debug_field_maps(maps, self.cfg.poissonOrder,
                                       self.cfg.OutputPath, plane_num)
         return maps
@@ -484,7 +487,8 @@ class Raytracer:
                     sync=lambda a: jnp.abs(a[0]))
         del density  # free before the synthesis peak (0.75 GB at NSIDE 4096)
         maps = phase("SHT", phase_synthesis_host, self.plan, alm,
-                     sync=lambda m: m.pot)
+                     sync=lambda m: m[0] if isinstance(m, jnp.ndarray)
+                     else m.pot)
         del alm  # free before the ray-side gathers (1.1 GB at NSIDE 4096)
         packed = phase("RAYPROP", phase_rayside, self.plan, self.tab,
                        self.rays_packed, maps, scal, self.cfg.BornApprx)

@@ -56,23 +56,61 @@ def sph_sigma_grid(min_sl, max_sl, nbuckets=8):
     return _np.geomspace(min_sl, max_sl, nbuckets)
 
 
-def deposit_sph_bucketed(order: int, pos, mass, sl, sigmas, npix: int):
+def deposit_sph_bucketed(order: int, pos, mass, sl, sigmas, npix: int,
+                         tab=None):
     """SPH deposit, TPU formulation: instead of the reference's per-particle
     query_disc scatter over a variable pixel set (shtpoissonsolve.c:187-291),
-    particles are bucketed by smoothing length onto B maps via NGP; the
-    bucket's spline-kernel smoothing is applied afterwards in harmonic space
-    (kernel_bl), which is exact for the bucket's sigma and TPU-friendly
-    (dense batched transforms instead of irregular scatters).
+    particles deposit onto B maps via CIC (bilinear sub-pixel placement);
+    each bucket's spline-kernel smoothing is applied afterwards in harmonic
+    space (kernel_bl, deconvolved by the CIC assignment window), which is
+    exact for the bucket's sigma and TPU-friendly (dense batched transforms
+    instead of irregular scatters).
+
+    Each particle's mass is split between its two bracketing sigma buckets
+    (linear in ln sigma), so the effective smoothing window interpolates
+    b_l(sigma) to first order instead of quantizing to the bucket grid.
+    Measured against the exact per-particle oracle (testing/sph_oracle.py):
+    deflection-field RMS error 1.4-1.7% at sigma ~ 2-6 pixels, < 0.7% at
+    sigma >~ 5 pixels (tests/test_sph_deposit.py).
 
     Returns [B, npix] maps.
     """
     theta, phi = jaxhp.vec2ang(pos)
-    pix = jaxhp.ang2pix_ring(theta, phi, order)
-    edges = jnp.sqrt(jnp.asarray(sigmas[1:] * sigmas[:-1]))
-    b = jnp.searchsorted(edges, sl)
     B = len(sigmas)
+    logsig = jnp.log(jnp.asarray(sigmas, sl.dtype))
+    hi = jnp.clip(jnp.searchsorted(logsig, jnp.log(sl)), 1, B - 1)
+    lo = hi - 1
+    t = (jnp.log(sl) - logsig[lo]) / (logsig[hi] - logsig[lo])
+    t = jnp.clip(t, 0.0, 1.0)
     m = jnp.zeros((B, npix), dtype=mass.dtype)
-    return m.at[b, pix].add(mass / MASS_SCALE)
+    if tab is not None:
+        pix4, wgt = jaxhp.get_interpol(tab, theta, phi)
+        for k in range(4):
+            m = m.at[lo, pix4[..., k]].add(
+                mass * wgt[..., k] * (1.0 - t) / MASS_SCALE)
+            m = m.at[hi, pix4[..., k]].add(
+                mass * wgt[..., k] * t / MASS_SCALE)
+        return m
+    pix = jaxhp.ang2pix_ring(theta, phi, order)
+    m = m.at[lo, pix].add(mass * (1.0 - t) / MASS_SCALE)
+    return m.at[hi, pix].add(mass * t / MASS_SCALE)
+
+
+def pixwin_disc_bl(order: int, lmax: int):
+    """Isotropic pixel-assignment window: Legendre transform of the
+    equal-area disc (radius R with pi R^2 = 4 pi / npix).  The CIC cloud's
+    effective window is ~ this squared; the SPH solve divides it out so the
+    band-limited kernel is centered at the exact particle position."""
+    import numpy as _np
+    from scipy.special import eval_legendre
+
+    R = _np.sqrt(4.0 / (12.0 * 4.0**order))
+    g = _np.linspace(0.0, R, 513)
+    x = _np.cos(g)
+    w = _np.gradient(g) * _np.sin(g)
+    P = eval_legendre(_np.arange(lmax + 1)[:, None], x[None, :])
+    bl = P @ w
+    return bl / bl[0]
 
 
 def kernel_bl(sigma, lmax):

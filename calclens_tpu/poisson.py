@@ -51,11 +51,15 @@ def solve_potential(plan: SHTPlan, density):
 def solve_potential_sph(plan: SHTPlan, densities, sph):
     """sigma-bucketed maps [B, npix] -> FieldMaps; each bucket's alm gets its
     spline-kernel window b_l(sigma_b) before the Poisson filter (the harmonic
-    form of the reference's real-space SPH deposit)."""
+    form of the reference's real-space SPH deposit).  The CIC assignment
+    window is divided out so the kernel is effectively centered at the exact
+    particle position (error budget in deposit_sph_bucketed's docstring)."""
     sigmas = sph
+    w2 = dep.pixwin_disc_bl(plan.order, plan.lmax) ** 2
     alm = 0.0
     for b, sig in enumerate(sigmas):
-        bl = jnp.asarray(dep.kernel_bl(float(sig), plan.lmax), plan.dtype)
+        bl = jnp.asarray(dep.kernel_bl(float(sig), plan.lmax) / w2,
+                         plan.dtype)
         alm = alm + T.map2alm(plan, densities[b]) * bl[:, None]
     ls = jnp.arange(plan.nl, dtype=plan.dtype)[:, None]
     inv = jnp.where(ls > 0, -1.0 / jnp.maximum(ls * (ls + 1.0), 1.0), 0.0)
@@ -81,7 +85,8 @@ def sht_poisson_solve(plan: SHTPlan, tab: jaxhp.InterpTables, rays,
         *sigmas, csl, min_sl, max_sl = sph
         sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
         dens_b = dep.deposit_sph_bucketed(plan.order, pos, mass, sl,
-                                          np.asarray(sigmas), plan.npix)
+                                          np.asarray(sigmas), plan.npix,
+                                          tab=tab)
         dens_b = dep.scale_density(dens_b, densfact, 0.0, pixarea)
         # backdens is a monopole shift (zeroed by the filter) except in
         # cut-sky mode, where it applies to the summed map
@@ -176,7 +181,8 @@ def _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph):
         *sigmas, csl, min_sl, max_sl = sph
         sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
         dens_b = dep.deposit_sph_bucketed(plan.order, pos, mass, sl,
-                                          np.asarray(sigmas), plan.npix)
+                                          np.asarray(sigmas), plan.npix,
+                                          tab=tab)
         dens_b = dep.scale_density(dens_b, scal.densfact, 0.0, pixarea)
         if vacmask is not None:
             dens_b = jnp.where(vacmask[None, :], 0.0, dens_b)
@@ -354,10 +360,14 @@ def phase_synthesis_host(plan: SHTPlan, alm):
     the six-map synthesis over j-blocks as separate jit calls so each
     block's temporaries are freed before the next block runs (the only way
     to bound peak HBM — the TPU compiler deletes in-graph optimization
-    barriers; see transforms.alm2allmaps_host_streamed)."""
+    barriers; see transforms.alm2allmaps_host_streamed).
+
+    Returns the STACKED [6, npix] map array in the streamed case (the
+    interpolation's native format; unstacking into FieldMaps would allocate
+    six more map-sized buffers — 4.5 GB at NSIDE 4096)."""
     nblk = T._synth_stream_blocks(plan)
     if nblk > 1:
-        return FieldMaps(*T.alm2allmaps_host_streamed(plan, alm, nblk))
+        return T.alm2allmaps_host_streamed(plan, alm, nblk)
     return phase_synthesis(plan, alm)
 
 

@@ -1,0 +1,282 @@
+"""MXU-contraction Pallas kernel for the Legendre synthesis (the SHT hot
+loop in matmul form — the "sharded associated-Legendre matmul" north star).
+
+The VPU kernel in pallas_legendre.py accumulates six per-(l, m, j) streams
+elementwise (~30 VPU ops per recurrence element).  This kernel restructures
+the synthesis so the VPU only runs the lambda recurrence (~15 ops/element)
+and the MXU does all the accumulation:
+
+  * All six outputs are contractions of the SAME lambda_lm tile against
+    modified alm streams.  The derivative recurrences fold into l-shifted /
+    l-scaled coefficients (the reference's d_theta recurrence,
+    alm2allmaps_transpose_mpi.c:405-410, summed by parts):
+
+      sum_l a_l lam'_l  = cot * sum_l (l a_l) lam_l
+                          - (1/sin) * sum_l (d_{l+1} a_{l+1}) lam_l
+      sum_l a_l lam''_l = m^2/sin^2 * sum_l a_l lam_l
+                          - sum_l (l(l+1) a_l) lam_l - cot * sum_l a_l lam'_l
+
+    with d_lm = sqrt((l^2-m^2)(2l+1)/(2l-1)).  The cot / 1/sin factors and
+    the combinations are applied OUTSIDE the kernel (elementwise [nm, J]).
+  * Per (m, l-block, j-tile): the recurrence materializes a lambda tile
+    P [LB, TJ] in VMEM, then ONE MXU dot contracts S16^T[16, LB] x P -> the
+    16 raw streams {a, l*a, d+a+, l(l+1)a} x {re, im} x {+, (-1)^l} — the
+    (-1)^l south-parity variants come from row signs on the SMALL S matrix,
+    not a second lambda tile.
+  * Triangular skip: each m tile skips all l blocks below floor(m0/LB); the
+    diagonal seed lambda_mm is evaluated directly in log2 space
+    (log-double-factorial table + m ln sin theta) with the 2^64 scale
+    counter initialized from the exponent (reference plmgen rescaling,
+    healpix_plmgen.c:73-239; underflow reproduces the lmin cutoff,
+    healpix_shtrans.c:533-544).
+
+Outputs feed the same (qN, qS) interface as pallas_legendre.synthesis_pallas.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TH_BIG = 2.0**32
+_RESC = 2.0**-64
+_LOG2E = 1.4426950408889634
+_HALF_LN_4PI = 1.2655121234846454  # 0.5 * ln(4 pi)
+
+
+def _logc_table(nm_pad: int) -> np.ndarray:
+    """C[m] = 0.5 * ln((2m+1)!!/(2m)!!) replicated to 128 lanes."""
+    m = np.arange(nm_pad, dtype=np.float64)
+    c = np.concatenate(
+        [[0.0], 0.5 * np.cumsum(np.log((2.0 * m[1:] + 1.0) / (2.0 * m[1:])))])
+    return np.broadcast_to(c[:, None].astype(np.float32),
+                           (nm_pad, 128)).copy()
+
+
+def _seed_init(logc_col, mf, ln_sth):
+    """Direct diagonal seed lambda_mm = stored * 2^(64 k) from log2 space."""
+    log2lam = (logc_col + mf * ln_sth - _HALF_LN_4PI) * _LOG2E
+    kf = jnp.ceil(log2lam * (1.0 / 64.0))
+    seedval = jnp.exp2(log2lam - 64.0 * kf)
+    return seedval, kf.astype(jnp.int32)
+
+
+def _lam_step(l_int, mf, m_vec, cth, pp, pc, k, seedval, seedk):
+    """One degree of the scaled recurrence -> (pp', pc', k', lam)."""
+    lf = l_int.astype(jnp.float32)
+    den = jnp.maximum((lf - mf) * (lf + mf), 1.0)
+    a = jnp.sqrt((2.0 * lf - 1.0) * (2.0 * lf + 1.0) / den)
+    bnum = jnp.maximum((lf - 1.0 - mf) * (lf - 1.0 + mf), 0.0)
+    bden = jnp.maximum((2.0 * lf - 3.0) * (2.0 * lf - 1.0), 1.0)
+    b = jnp.sqrt(bnum / bden)
+    new = a * (cth * pc - b * pp)
+
+    seed_row = m_vec == l_int
+    inactive = m_vec > l_int
+    new = jnp.where(seed_row, seedval, jnp.where(inactive, 0.0, new))
+    prev = jnp.where(seed_row | inactive, 0.0, pc)
+    k_new = jnp.where(seed_row, seedk, k)
+
+    big = jnp.abs(new) > _TH_BIG
+    new = jnp.where(big, new * _RESC, new)
+    prev = jnp.where(big, prev * _RESC, prev)
+    k_new = k_new + big.astype(jnp.int32)
+
+    corfac = jnp.where(k_new == 0, 1.0, jnp.where(k_new == -1, _RESC, 0.0))
+    return prev, new, k_new, new * corfac
+
+
+def _synth_mx_kernel(LB, TM, TJ, ncol,
+                     are_ref, aim_ref, hre_ref, him_ref, geo_ref, logc_ref,
+                     out_ref,
+                     p_scr, pp_ref, pc_ref, k_ref, seed_ref, seedk_ref):
+    """Grid (m_tiles, j_tiles, l_blocks), l innermost.
+
+    alm/shifted-stream blocks [LB, TM]; geo rows cth, sth, cot, inv_sth,
+    ln_sth [5, TJ]; out block [TM, ncol, TJ] accumulated across l blocks.
+    ncol = 16 (derivs) or 4 (phi only: {a_re, a_im} x {+, (-1)^l}).
+    """
+    mi = pl.program_id(0)
+    lb = pl.program_id(2)
+    lb_act = (mi * TM) // LB
+
+    cth = geo_ref[0:1, :]
+    ln_sth = geo_ref[4:5, :]
+
+    m_vec = (mi * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0))
+    mf = m_vec.astype(jnp.float32)
+
+    @pl.when(lb == 0)
+    def _zero_out():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(lb == lb_act)
+    def _init():
+        pp_ref[...] = jnp.zeros_like(pp_ref)
+        pc_ref[...] = jnp.zeros_like(pc_ref)
+        k_ref[...] = jnp.zeros_like(k_ref)
+        sv, sk = _seed_init(logc_ref[:, 0:1], mf, ln_sth)
+        seed_ref[...] = sv
+        seedk_ref[...] = sk
+
+    @pl.when(lb >= lb_act)
+    def _compute():
+        seedval = seed_ref[...]
+        seedk = seedk_ref[...]
+
+        def body(i, _):
+            pp, pc, k, lam = _lam_step(
+                lb * LB + i, mf, m_vec, cth,
+                pp_ref[...], pc_ref[...], k_ref[...], seedval, seedk)
+            p_scr[:, pl.ds(i, 1), :] = lam[:, None, :]
+            pp_ref[...] = pp
+            pc_ref[...] = pc
+            k_ref[...] = k
+            return 0
+
+        jax.lax.fori_loop(0, LB, body, 0, unroll=2)
+
+        # stream matrix per m, then ONE MXU contraction over the l block
+        l_col = (lb * LB
+                 + jax.lax.broadcasted_iota(jnp.int32, (LB, 1), 0))
+        lf_col = l_col.astype(jnp.float32)
+        l2_col = lf_col * (lf_col + 1.0)
+        sgn_col = 1.0 - 2.0 * (l_col % 2).astype(jnp.float32)  # (-1)^l
+        for mm in range(TM):
+            a_re = are_ref[:, mm: mm + 1]
+            a_im = aim_ref[:, mm: mm + 1]
+            if ncol == 16:
+                h_re = hre_ref[:, mm: mm + 1]
+                h_im = him_ref[:, mm: mm + 1]
+                S8 = jnp.concatenate(
+                    [a_re, a_im, a_re * lf_col, a_im * lf_col,
+                     h_re, h_im, a_re * l2_col, a_im * l2_col], axis=1)
+                S = jnp.concatenate([S8, S8 * sgn_col], axis=1)
+            else:
+                S = jnp.concatenate(
+                    [a_re, a_im, a_re * sgn_col, a_im * sgn_col], axis=1)
+            out_ref[mm] += jax.lax.dot_general(
+                S, p_scr[mm], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(0, 6))
+def _synth_mx_raw(plan_key, are, aim, hre, him, geo, ncol):
+    nl_pad, nm_pad, J_pad, LB, TM, TJ = plan_key
+    grid = (nm_pad // TM, J_pad // TJ, nl_pad // LB)
+    logc = jnp.asarray(_logc_table(nm_pad))
+    kern = partial(_synth_mx_kernel, LB, TM, TJ, ncol)
+    ab_spec = pl.BlockSpec((LB, TM), lambda m, j, lb: (lb, m),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[ab_spec, ab_spec, ab_spec, ab_spec,
+                  pl.BlockSpec((5, TJ), lambda m, j, lb: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TM, 128), lambda m, j, lb: (m, 0),
+                               memory_space=pltpu.VMEM)],
+        out_shape=jax.ShapeDtypeStruct((nm_pad, ncol, J_pad), jnp.float32),
+        out_specs=pl.BlockSpec((TM, ncol, TJ), lambda m, j, lb: (m, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TM, LB, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.int32),
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.int32),
+        ],
+    )(are, aim, hre, him, geo, logc)
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _geo_rows(plan, J_pad):
+    rows = np.stack([plan.cth, plan.sth, plan.cot, plan.inv_sth,
+                     plan.ln_sth]).astype(np.float32)
+    out = np.zeros((5, J_pad), np.float32)
+    out[:, : rows.shape[1]] = rows
+    return jnp.asarray(out)
+
+
+def _dfac(nl_pad, nm_pad):
+    """d_lm = sqrt((l^2-m^2)(2l+1)/(2l-1)) (the d_theta lowering factor)."""
+    l = np.arange(nl_pad, dtype=np.float64)[:, None]
+    m = np.arange(nm_pad, dtype=np.float64)[None, :]
+    num = np.maximum(l * l - m * m, 0.0) * (2.0 * l + 1.0)
+    den = np.maximum(2.0 * l - 1.0, 1.0)
+    return np.sqrt(num / den)
+
+
+def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128):
+    """MXU Legendre synthesis: drop-in for transforms.legendre_synthesis.
+
+    Returns (qN, qS) each [nkern, nm, J] complex64.
+    """
+    nl, nm, J = plan.nl, plan.nm, plan.J
+    TJ = min(TJ, max(-(-J // 128) * 128, 128))
+    nm_pad = -(-nm // TM) * TM
+    J_pad = -(-J // TJ) * TJ
+    nl_pad = -(-nl // LB) * LB
+    ncol = 16 if derivs else 4
+
+    ar = jnp.real(alm).astype(jnp.float32)
+    ai = jnp.imag(alm).astype(jnp.float32)
+    if derivs:
+        # shifted stream h[l] = d_{l+1} a_{l+1} (summation by parts of the
+        # d_theta lowering recurrence)
+        d = jnp.asarray(_dfac(nl + 1, nm)[1:].astype(np.float32))
+        hr = jnp.concatenate([ar[1:] * d[:-1], jnp.zeros((1, nm), ar.dtype)])
+        hi = jnp.concatenate([ai[1:] * d[:-1], jnp.zeros((1, nm), ai.dtype)])
+    else:
+        hr = hi = jnp.zeros((1, nm), jnp.float32)
+
+    def prep(x):
+        return _pad_to(_pad_to(x, nl_pad, 0), nm_pad, 1)
+
+    geo = _geo_rows(plan, J_pad)
+    key = (nl_pad, nm_pad, J_pad, LB, TM, TJ)
+    c = _synth_mx_raw(key, prep(ar), prep(ai), prep(hr), prep(hi), geo, ncol)
+    c = c[:nm, :, :J]  # [nm, ncol, J]
+
+    s_m = (1 - 2 * (jnp.arange(nm, dtype=jnp.int32) % 2)).astype(
+        jnp.float32)[:, None]
+
+    def cplx(k):
+        return (c[:, 2 * k] + 1j * c[:, 2 * k + 1]).astype(plan.cdtype)
+
+    if not derivs:
+        c0, c0a = cplx(0), cplx(1)
+        return (jnp.stack([c0]), jnp.stack([s_m * c0a]))
+
+    c0, c1, c2, c3 = cplx(0), cplx(1), cplx(2), cplx(3)
+    c0a, c1a, c2a, c3a = cplx(4), cplx(5), cplx(6), cplx(7)
+
+    cot = jnp.asarray(plan.cot, jnp.float32)[None, :]
+    inv = jnp.asarray(plan.inv_sth, jnp.float32)[None, :]
+    m2i2 = jnp.asarray(plan.m_f, jnp.float32)[:, None] ** 2 * inv * inv
+
+    qphiN = c0
+    qphiS = s_m * c0a
+    qthN = cot * c1 - inv * c2
+    dSa = cot * c1a + inv * c2a          # sum (-1)^l a lam'
+    qthS = -s_m * dSa
+    qththN = m2i2 * c0 - c3 - cot * qthN
+    qththS = s_m * (m2i2 * c0a - c3a - cot * dSa)
+
+    qN = jnp.stack([qphiN, qthN, qththN])
+    qS = jnp.stack([qphiS, qthS, qththS])
+    return qN, qS

@@ -111,6 +111,10 @@ class SHTPlan:
         self.sth = np.asarray(np.sin(th), dtype=ndt)
         self.cot = np.asarray(np.cos(th) / np.sin(th), dtype=ndt)
         self.inv_sth = np.asarray(1.0 / np.sin(th), dtype=ndt)
+        # ln(sin theta) evaluated in f64 then stored: the MXU kernel's
+        # log2-space diagonal seed multiplies this by m (up to ~24575), so
+        # ln(f32(sin)) would lose ~1e-3 absolute accuracy at high m
+        self.ln_sth = np.asarray(np.log(np.sin(th)), dtype=np.float32)
         self.wN = np.asarray(w[jj], dtype=ndt)
         wS = w[self.nrings - 1 - jj].copy()
         wS[self.J - 1] = 0.0  # equator has no southern partner

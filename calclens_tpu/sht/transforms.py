@@ -213,6 +213,7 @@ def _geo_view(plan: SHTPlan, j0: int, j1: int):
         v.m_int, v.m_f = plan.m_int, plan.m_f
         v.cth, v.sth = plan.cth[j0:j1], plan.sth[j0:j1]
         v.cot, v.inv_sth = plan.cot[j0:j1], plan.inv_sth[j0:j1]
+        v.ln_sth = plan.ln_sth[j0:j1]
         views[(j0, j1)] = v
     return v
 

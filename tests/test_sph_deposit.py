@@ -23,6 +23,67 @@ def test_smoothing_lengths_clamped():
     np.testing.assert_allclose(sl, [5e-3, 1e-3, 1e-3])
 
 
+def _bucketed_vs_oracle_err(order, min_sl, max_sl, csl, seed=7):
+    """Deflection-field RMS error of the production bucketed scheme
+    (deposit_sph_bucketed + solve_potential_sph windows) vs the exact
+    per-particle reference algorithm (testing/sph_oracle.py)."""
+    import jax.numpy as jnp
+    from calclens_tpu.sht.plan import SHTPlan
+    from calclens_tpu.sht import transforms as T
+    from calclens_tpu.healpix import jaxhp
+    from calclens_tpu.testing import sph_oracle
+
+    plan = SHTPlan(order, dtype=jnp.float64)
+    plan.use_pallas = False
+    tab = jaxhp.InterpTables(order, dtype=jnp.float64)
+
+    rng = np.random.default_rng(seed)
+    N = 150
+    vec = rng.normal(size=(N, 3))
+    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    r = rng.uniform(400.0, 1000.0, N)  # 2.5x spread in smoothing length
+    pos = vec * r[:, None]
+    mass = rng.uniform(0.5, 2.0, N) * 1e14
+
+    sl = np.clip(csl / r, min_sl, max_sl)
+    dens_exact = sph_oracle.deposit_sph_exact(order, pos, mass, sl)
+    alm_e = T.map2alm(plan, jnp.asarray(dens_exact))
+
+    sigmas = dep.sph_sigma_grid(min_sl, max_sl, 8)
+    dens_b = dep.deposit_sph_bucketed(
+        order, jnp.asarray(pos), jnp.asarray(mass), jnp.asarray(sl),
+        sigmas, plan.npix, tab=tab)
+    # production kernel windows incl. the CIC deconvolution
+    w2 = dep.pixwin_disc_bl(order, plan.lmax) ** 2
+    alm_b = 0.0
+    for b, sig in enumerate(sigmas):
+        bl = jnp.asarray(dep.kernel_bl(float(sig), plan.lmax) / w2)
+        alm_b = alm_b + T.map2alm(plan, dens_b[b]) * bl[:, None]
+
+    ls = np.arange(plan.nl)[:, None]
+    inv = np.where(ls > 0, -1.0 / np.maximum(ls * (ls + 1.0), 1.0), 0.0)
+    out_b = T.alm2allmaps(plan, alm_b * inv)
+    out_e = T.alm2allmaps(plan, alm_e * inv)
+    errs = []
+    for comp in (1, 2):  # d_theta, d_phi (the deflection components)
+        gb, ge = np.asarray(out_b[comp]), np.asarray(out_e[comp])
+        errs.append(float(np.sqrt(np.mean((gb - ge) ** 2) / np.mean(ge ** 2))))
+    return errs
+
+
+def test_sph_bucketed_vs_exact_oracle():
+    """Plane-level bucketing error vs the exact reference algorithm
+    (VERDICT round-1 item 7): < 1% once the kernel is resolved by >~ 5 map
+    pixels, < 2.5% down to ~2 pixels (the reference's own resolution floor:
+    it samples the kernel with FAC=3 resolution elements, raytrace.h:128)."""
+    # sigma = 4.7-11.7 pixels at order 6 (pixel scale 0.0128 rad)
+    errs = _bucketed_vs_oracle_err(6, 0.06, 0.15, 60.0)
+    assert max(errs) < 0.01, errs
+    # sigma = 2.3-6.2 pixels: sub-pixel placement residual dominates
+    errs2 = _bucketed_vs_oracle_err(6, 0.03, 0.08, 30.0)
+    assert max(errs2) < 0.025, errs2
+
+
 def test_sph_pointmass_farfield_matches_analytic(tmp_path):
     """Far outside the smoothing scale, the SPH-deposited point mass deflects
     exactly like the NGP one (exterior field of a compact kernel)."""
