@@ -407,11 +407,17 @@ class Raytracer:
                 self.mgsetup = mgdriver.MGSetup(
                     self.cfg.bundleOrder, n, self.cfg.rayOrder,
                     dtype=self.dtype)
+                if self.sph is not None:
+                    self.mgsetup.sph_sigmas = self.sph[:-3]
             pos_d, mass_d = self._pad_particles(pos, mass)
+            # MGConvFact stopping (README.md:215-221, recommended 0.1);
+            # unset (-1) keeps the fixed-cycle solve
+            conv_fact = float(self.cfg.MGConvFact)
             packed = plane_step_mg(
                 self.plan, self.tab, self.mgsetup, self.rays_packed,
                 jnp.asarray(self.ray_nest), pos_d, mass_d,
-                self.cfg.DepositScheme, self.cfg.BornApprx, scal, vacmask)
+                self.cfg.DepositScheme, self.cfg.BornApprx, scal, vacmask,
+                conv_fact, self.sph)
         elif len(pos) and self._phased_step and self.cfg.DepositScheme != "SPH":
             packed, maps = self._step_profiled(plane_num, pos, mass, scal,
                                                vacmask, with_maps)
@@ -474,7 +480,9 @@ class Raytracer:
             t0 = time.perf_counter()
             out = fn(*args, **kw)
             probe = out if sync is None else sync(out)
-            float(jnp.sum(jnp.ravel(probe)[:1]))
+            # corner-element fetch as the device sync: slicing before any
+            # reshape so no map-sized eager copy is dispatched
+            float(jnp.sum(probe[tuple(slice(0, 1) for _ in range(probe.ndim))]))
             row[tag] = time.perf_counter() - t0
             prof.total[tag] = prof.total.get(tag, 0.0) + row[tag]
             prof.count[tag] = prof.count.get(tag, 0) + 1
@@ -487,8 +495,8 @@ class Raytracer:
                     sync=lambda a: jnp.abs(a[0]))
         del density  # free before the synthesis peak (0.75 GB at NSIDE 4096)
         maps = phase("SHT", phase_synthesis_host, self.plan, alm,
-                     sync=lambda m: m[0] if isinstance(m, jnp.ndarray)
-                     else m.pot)
+                     sync=lambda m: m[0, :1] if isinstance(m, jnp.ndarray)
+                     else m.pot[:1])
         del alm  # free before the ray-side gathers (1.1 GB at NSIDE 4096)
         packed = phase("RAYPROP", phase_rayside, self.plan, self.tab,
                        self.rays_packed, maps, scal, self.cfg.BornApprx)

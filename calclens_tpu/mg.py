@@ -216,3 +216,45 @@ def solve_fas(u0, rhs, levels: tuple, ncycles: int = 8, npre: int = 2,
         return vcycle(u, rhs, levels, 0, npre, npost)
 
     return jax.lax.fori_loop(0, ncycles, cyc, u0)
+
+
+def _truncation_norm(u, rhs, levels):
+    """FAS truncation-error estimate tau = L_c(R u) - R(L_f u) per patch
+    (the reference's relative convergence reference, mgpoissonsolve_utils.c
+    solve_fas_mggrid): returns its L1 norm over each patch [C]."""
+    lev, levc = levels[0], levels[1]
+    tau = lop(restrict_full(u), levc) - restrict_full(
+        lop(u, lev) * _interior_mask(lev, u.dtype))
+    return jnp.sum(jnp.abs(tau), axis=(-2, -1))
+
+
+@partial(jax.jit, static_argnums=(2, 4, 5, 6))
+def solve_fas_adaptive(u0, rhs, levels: tuple, conv_fact,
+                       max_cycles: int = 20, npre: int = 2, npost: int = 2):
+    """FAS solve with the reference's truncation-error-relative stopping
+    rule (MGConvFact, mgpoissonsolve_utils.c:44-192): V-cycle until every
+    patch's residual L1 norm is below conv_fact times its truncation-error
+    estimate, capped at max_cycles.  lax.while_loop keeps shapes static
+    while the trip count adapts.  Falls back to plain cycling when the
+    hierarchy has a single level."""
+    if len(levels) < 2:
+        return solve_fas(u0, rhs, levels, max_cycles, npre, npost)
+    lev = levels[0]
+    mask = _interior_mask(lev, u0.dtype)
+
+    def res_norm(u):
+        return jnp.sum(jnp.abs((rhs - lop(u, lev)) * mask), axis=(-2, -1))
+
+    def cond(state):
+        u, k = state
+        taun = _truncation_norm(u, rhs, levels)
+        # patches with zero source (tau ~ 0) are converged by definition
+        done = res_norm(u) <= conv_fact * jnp.maximum(taun, 1e-300)
+        return (k < max_cycles) & ~jnp.all(done)
+
+    def body(state):
+        u, k = state
+        return vcycle(u, rhs, levels, 0, npre, npost), k + 1
+
+    u, _ = jax.lax.while_loop(cond, body, (u0, jnp.int32(0)))
+    return u

@@ -69,6 +69,9 @@ class MGSetup:
              hp.neighbors_nest(np.arange(self.C), bundle_order)], axis=1)
         self.neighbors = np.where(self.neighbors < 0,
                                   self.neighbors[:, :1], self.neighbors)
+        # static sigma bucket centers for the spline patch deposit (set by
+        # the driver when DepositScheme is SPH)
+        self.sph_sigmas = None
 
     def patch_coords(self, R_rows, vec):
         """Rotate unit vectors into each listed patch frame -> fractional
@@ -83,14 +86,9 @@ class MGSetup:
         return ti, pj, ok
 
 
-@partial(jax.jit, static_argnums=(0,))
-def deposit_patches(setup: MGSetup, pos, mass, densfact, backdens):
-    """CIC deposit of every particle into its own and neighboring patches,
-    scaled to the kappa source term (fill_rho_mggrid:246-255; the reference
-    uses the spline kernel with per-particle normalization — CIC is the
-    fixed-footprint TPU form):
-      rho[i,j] = mass_in_cell / (dL * cosfacs_i) * densfact - backdens
-    """
+def _cic_patch_mass(setup: MGSetup, pos, w):
+    """CIC scatter of per-particle weights w [Np] into every particle's own
+    and neighboring patches -> mass grid [C, N, N]."""
     lev = setup.levels[0]
     N = lev.N
     theta, phi = jaxhp.vec2ang(pos)
@@ -107,16 +105,67 @@ def deposit_patches(setup: MGSetup, pos, mass, densfact, backdens):
     j0 = jnp.clip(jnp.floor(pj).astype(jnp.int32), 0, N - 2)
     fx = jnp.clip(ti - i0, 0.0, 1.0)
     fy = jnp.clip(pj - j0, 0.0, 1.0)
-    w = jnp.where(ok, mass[:, None], 0.0)
+    wk = jnp.where(ok, w[:, None], 0.0)
     grid = jnp.zeros((setup.C, N, N), pos.dtype)
     for di in (0, 1):
         wi = (1.0 - fx) if di == 0 else fx
         for dj in (0, 1):
             wj = (1.0 - fy) if dj == 0 else fy
-            grid = grid.at[cand, i0 + di, j0 + dj].add(w * wi * wj)
+            grid = grid.at[cand, i0 + di, j0 + dj].add(wk * wi * wj)
+    return grid
+
+
+@partial(jax.jit, static_argnums=(0,))
+def deposit_patches(setup: MGSetup, pos, mass, densfact, backdens):
+    """CIC deposit of every particle into its own and neighboring patches,
+    scaled to the kappa source term (fill_rho_mggrid:246-255):
+      rho[i,j] = mass_in_cell / (dL * cosfacs_i) * densfact - backdens
+    """
+    lev = setup.levels[0]
+    grid = _cic_patch_mass(setup, pos, mass)
     cosf = jnp.asarray(np.asarray(lev.cosfacs), pos.dtype)[None, :, None]
-    rho = grid / (lev.dL * cosf) * densfact - backdens
-    return rho
+    return grid / (lev.dL * cosf) * densfact - backdens
+
+
+def _kernel_stamp(sigma, dL, dtype):
+    """Normalized Epanechnikov stamp [K, K] on the patch grid (equatorial
+    metric: the patch is rotated so its center sits on the equator, so
+    sin(theta) deviates from 1 only by O((L/2)^2) at the edges)."""
+    half = max(int(np.ceil(sigma / dL)), 1)
+    d = np.arange(-half, half + 1) * dL
+    g2 = d[:, None] ** 2 + d[None, :] ** 2
+    w = np.maximum(1.0 - g2 / sigma**2, 0.0)
+    return jnp.asarray(w / w.sum(), dtype)
+
+
+@partial(jax.jit, static_argnums=(0, 6))
+def deposit_patches_sph(setup: MGSetup, pos, mass, sl, densfact, backdens,
+                        sigmas):
+    """Spline-kernel patch deposit (fill_rho_mggrid, mgpoissonsolve.c:299-597):
+    each particle's mass is spread with the normalized Epanechnikov kernel of
+    its smoothing length.  TPU form: the particle set is split between the
+    two bracketing sigma buckets (as in ops.deposit.deposit_sph_bucketed),
+    each bucket's CIC mass grid is convolved with the bucket's normalized
+    kernel stamp — mass is conserved per particle exactly as the reference's
+    discrete per-particle normalization does, with the kernel shape quantized
+    to the bucket grid (first-order interpolated) instead of per-particle."""
+    lev = setup.levels[0]
+    B = len(sigmas)
+    logsig = jnp.log(jnp.asarray(sigmas, sl.dtype))
+    hi = jnp.clip(jnp.searchsorted(logsig, jnp.log(sl)), 1, B - 1)
+    lo = hi - 1
+    t = jnp.clip((jnp.log(sl) - logsig[lo]) / (logsig[hi] - logsig[lo]),
+                 0.0, 1.0)
+    grid = 0.0
+    for b, sig in enumerate(sigmas):
+        wb = mass * jnp.where(lo == b, 1.0 - t, 0.0) + \
+            mass * jnp.where(hi == b, t, 0.0)
+        gb = _cic_patch_mass(setup, pos, wb)
+        stamp = _kernel_stamp(float(sig), lev.dL, pos.dtype)
+        grid = grid + jax.lax.conv_general_dilated(
+            gb[:, None], stamp[None, None], (1, 1), "SAME")[:, 0]
+    cosf = jnp.asarray(np.asarray(lev.cosfacs), pos.dtype)[None, :, None]
+    return grid / (lev.dL * cosf) * densfact - backdens
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -148,8 +197,14 @@ def fill_u_from_map(setup: MGSetup, tab, potmap):
     return jnp.sum(potmap[pix] * wgt, axis=-1).astype(potmap.dtype)
 
 
-def solve_patches(setup: MGSetup, u0, rho, ncycles=10):
-    return mg.solve_fas(u0, rho, setup.levels, ncycles, 2, 2)
+def solve_patches(setup: MGSetup, u0, rho, conv_fact=-1.0, max_cycles=20):
+    """Batched patch solve; conv_fact > 0 enables the reference's
+    truncation-error-relative stopping rule (MGConvFact, README.md:215-221,
+    default 0.1), else a fixed 10-cycle solve."""
+    if isinstance(conv_fact, float) and conv_fact <= 0:
+        return mg.solve_fas(u0, rho, setup.levels, 10, 2, 2)
+    return mg.solve_fas_adaptive(u0, rho, setup.levels, conv_fact,
+                                 max_cycles, 2, 2)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -242,15 +297,21 @@ def _tangent_basis(nhat):
 
 
 def mg_refine(setup: MGSetup, tab, rays, ray_nest, ray_order, potmap,
-              pos, mass, densfact, backdens, ncycles=10):
+              pos, mass, densfact, backdens, conv_fact=-1.0, sl=None):
     """Full refinement: deposit, BC fill, batched FAS solve, ray update.
 
     potmap: RING-ordered SHT potential map (long range / boundary data).
     Sets phi and ADDS alpha/U from the patch solution (the rays enter with
-    zeroed per-plane fields in non-SHTONLY mode)."""
-    rho = deposit_patches(setup, pos, mass, densfact, backdens)
+    zeroed per-plane fields in non-SHTONLY mode).  sl (per-particle angular
+    smoothing lengths) switches the patch deposit to the spline kernel
+    (fill_rho_mggrid analog); conv_fact > 0 enables MGConvFact stopping."""
+    if sl is not None:
+        rho = deposit_patches_sph(setup, pos, mass, sl, densfact, backdens,
+                                  setup.sph_sigmas)
+    else:
+        rho = deposit_patches(setup, pos, mass, densfact, backdens)
     u0 = fill_u_from_map(setup, tab, potmap)
-    u = solve_patches(setup, u0, rho, ncycles)
+    u = solve_patches(setup, u0, rho, conv_fact)
     shift = 2 * (ray_order - setup.bundle_order)
     cell_nest = (jnp.asarray(ray_nest) >> shift).astype(jnp.int32)
     pot, grad, hess = interp_derivs_to_rays(setup, u, rays.n, cell_nest)

@@ -273,10 +273,11 @@ def plane_step_density(plan: SHTPlan, tab: jaxhp.InterpTables, rays, density,
     return rays, (maps if with_maps else None)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 7, 8))
+@partial(jax.jit, static_argnums=(0, 1, 2, 7, 8, 11, 12))
 def plane_step_mg(plan: SHTPlan, tab: jaxhp.InterpTables, mgsetup, packed,
                   ray_nest, pos, mass, scheme: str, born: bool,
-                  scal: PlaneScalars, vacmask=None):
+                  scal: PlaneScalars, vacmask=None, conv_fact: float = -1.0,
+                  sph=None):
     """Non-SHTONLY plane step: SHT solve for the long-range potential MAP
     only, then batched tangent-patch multigrid refinement supplies the rays'
     deflections/shear from finite differences of the patch potential
@@ -299,9 +300,13 @@ def plane_step_mg(plan: SHTPlan, tab: jaxhp.InterpTables, mgsetup, packed,
     if plan.window_dev is not None:
         inv = inv * plan.window_dev[:, None]
     potmap = T.alm2map(plan, alm * inv.astype(plan.dtype))
+    sl = None
+    if scheme == "SPH" and sph is not None:
+        *sigmas, csl, min_sl, max_sl = sph
+        sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
     rays = mgdriver.mg_refine(
         mgsetup, tab, rays, ray_nest, mgsetup.ray_order, potmap,
-        pos, mass, scal.densfact, scal.backdens)
+        pos, mass, scal.densfact, scal.backdens, conv_fact=conv_fact, sl=sl)
     out = soa.pack(rays)
     return soa.chunked(
         lambda b: soa.prop_only_chunk(b, scal.wp, scal.wpm1, scal.wpm2, born),

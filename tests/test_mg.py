@@ -40,18 +40,85 @@ def test_levels_and_patch_sizing():
     assert n >= mg.NUM_MGPATCH_MIN
 
 
+def test_adaptive_stopping_matches_fixed():
+    """MGConvFact truncation-error-relative stopping (solve_fas_adaptive)
+    reaches the same solution as generous fixed cycling, in fewer cycles."""
+    L = 0.2
+    levels = tuple(mg.build_levels(L, 64))
+    lev = levels[0]
+    N = lev.N
+    i = np.arange(N)
+    th = i * lev.dL + lev.thetaLoc
+    ph = i * lev.dL + lev.phiLoc
+    TH, PH = np.meshgrid(th, ph, indexing="ij")
+    u_exact = jnp.asarray(np.stack([
+        np.sin(12 * (TH - np.pi / 2)) * np.cos(9 * PH),
+        np.cos(7 * (TH - np.pi / 2)) * np.sin(11 * PH),
+    ]))
+    rhs = mg.lop(u_exact, lev)
+    ghost = np.zeros((N, N))
+    ghost[0, :] = ghost[-1, :] = ghost[:, 0] = ghost[:, -1] = 1
+    u0 = u_exact * jnp.asarray(ghost)
+    u_ad = mg.solve_fas_adaptive(u0, rhs, levels, 0.1, max_cycles=20)
+    # converged to the discrete solution within the truncation-error level
+    err = np.max(np.abs(np.asarray(u_ad - u_exact)[:, 1:-1, 1:-1]))
+    assert err < 5e-3, err
+    # residual below MGConvFact * tau for every patch
+    mask = mg._interior_mask(lev, u_ad.dtype)
+    res = np.asarray(jnp.sum(jnp.abs((rhs - mg.lop(u_ad, lev)) * mask),
+                             axis=(-2, -1)))
+    tau = np.asarray(mg._truncation_norm(u_ad, rhs, levels))
+    assert np.all(res <= 0.1 * tau + 1e-12), (res, tau)
+
+
+def test_spline_patch_deposit_mass_and_spread():
+    """deposit_patches_sph conserves mass and spreads it over ~sigma."""
+    from calclens_tpu import mgdriver
+
+    setup = mgdriver.MGSetup(2, 64, dtype=jnp.float64)
+    lev = setup.levels[0]
+    rng = np.random.default_rng(3)
+    vec = rng.normal(size=(40, 3))
+    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+    pos = jnp.asarray(vec * 500.0)
+    mass = jnp.asarray(rng.uniform(1.0, 2.0, 40) * 1e12)
+    sigmas = (4 * lev.dL, 8 * lev.dL, 16 * lev.dL)
+    sl = jnp.asarray(rng.uniform(sigmas[0], sigmas[-1], 40))
+    rho = mgdriver.deposit_patches_sph(setup, pos, mass, sl, 1.0, 0.0,
+                                       sigmas)
+    rho_cic = mgdriver.deposit_patches(setup, pos, mass, 1.0, 0.0)
+    # same total weighted mass over the particle's own patch region:
+    # integrate rho * dL * cosfacs back to mass; every particle lands in 9
+    # patches so totals match between schemes (kernel fully inside patches)
+    cosf = np.asarray(lev.cosfacs)[None, :, None]
+    tot_sph = float(np.sum(np.asarray(rho) * lev.dL * cosf))
+    tot_cic = float(np.sum(np.asarray(rho_cic) * lev.dL * cosf))
+    # a few % of kernel mass falls off patch edges for particles near cell
+    # boundaries — the reference drops the same mass (it normalizes over the
+    # particle's full footprint, then deposits only in-patch cells,
+    # shtpoissonsolve-analog in fill_rho_mggrid)
+    assert abs(tot_sph - tot_cic) / abs(tot_cic) < 5e-2
+    # smoothing spreads: peak value drops vs CIC
+    assert float(jnp.max(rho)) < 0.2 * float(jnp.max(rho_cic))
+
+
 @pytest.mark.slow
-def test_mg_pointmass_deflection(tmp_path):
+@pytest.mark.parametrize("variant", ["fixed", "adaptive_sph"])
+def test_mg_pointmass_deflection(tmp_path, variant):
     """Non-SHTONLY: a LOW-lmax SHT (long range/BC) + multigrid refinement
     must recover the point-mass deflection including scales the SHT alone
-    cannot resolve."""
+    cannot resolve.  The adaptive_sph variant runs the reference-faithful
+    combination: MGConvFact stopping + spline-kernel patch deposit."""
+    extra = ({} if variant == "fixed" else
+             dict(MGConvFact=0.1, DepositScheme="SPH",
+                  ComvSmoothingScale=5.0))
     cfg = RayTraceConfig(
         OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
         LensPlanePath=str(tmp_path), LensPlaneName="pmplane",
         SHTOrder=5, rayOrder=6, bundleOrder=2,
         partMass=5.0e16, raPointMass=32.0, decPointMass=14.0,
         radPointMass=625.0, PointMassTest=True, Precision="f64",
-        SHTOnly=False,
+        SHTOnly=False, **extra,
     ).finalize()
     mass_vec, mass_plane = pm.make_pointmass_planes(cfg)
     rt = Raytracer(cfg)
@@ -70,7 +137,7 @@ def test_mg_pointmass_deflection(tmp_path):
     sel = (gamma > 0.08) & (gamma < 0.25)
     ref = pm.alpha_exact(gamma[sel], q)
     rel = np.abs(amag[sel] - ref) / ref
-    assert np.median(rel) < 0.2, np.median(rel)
+    assert np.median(rel) < 0.02, np.median(rel)
 
     # direction toward the mass
     phihat = np.stack([-nhat[:, 1], nhat[:, 0], np.zeros(len(nhat))], 1)
