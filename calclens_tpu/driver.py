@@ -577,7 +577,8 @@ class Raytracer:
                 if len(ppos):
                     tgs = time.perf_counter()
                     pp = plane_params(cfg, self.cosmo, p)
-                    images = gs.find_images(cfg, gs_tables, self.rays, ppos,
+                    images = gs.find_images(cfg, gs_tables,
+                                            self.rays_packed, ppos,
                                             pidx, pp.rad, pp.rad_minus1,
                                             nest2index=gs_tables.ring_of_nest)
                     if cfg.GalOutputName:

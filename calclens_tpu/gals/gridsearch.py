@@ -91,20 +91,33 @@ def _rayprop_gs(n, beta, A, Aprev, wp, wpm1, wpm2):
     return np_, Ap
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _search_chunk(nkern: int, verts, vmask, gvec, grad, tvec, pvec, vert_cvec,
-                  n_all, beta_all, A_all, Aprev_all, wpm1, wpm2):
+def _gather_vec(packed, r0, idx):
+    """packed [21, N] rows r0..r0+2 at ray indices idx [...] -> [..., 3]."""
+    return jnp.stack([packed[r0 + k][idx] for k in range(3)], axis=-1)
+
+
+def _gather_mat(packed, r0, idx):
+    """packed rows r0..r0+3 -> [..., 2, 2] (A row layout, rays/soa.py)."""
+    a = [packed[r0 + k][idx] for k in range(4)]
+    return jnp.stack([jnp.stack([a[0], a[1]], -1),
+                      jnp.stack([a[2], a[3]], -1)], -2)
+
+
+@jax.jit
+def _search_chunk(packed, verts, vmask, gvec, grad, tvec, pvec, vert_cvec,
+                  wpm1, wpm2):
     """Device: barycentric hit test for every (gal, triangle).
 
-    verts [G, T, 3] ray indices; vert_cvec [G, T, 3, 3] vertex pixel-center
-    unit vectors; returns hit mask [G, T], barycoords*cosang [G, T, 3],
+    packed: the f32[21, N] SoA ray buffer (rays stay on device; gathers are
+    componentwise so no [N, 3]/[N, 2, 2] small-trailing-dim device buffers
+    are ever materialized).  verts [G, T, 3] ray indices; vert_cvec
+    [G, T, 3, 3] vertex pixel-center unit vectors; returns hit mask [G, T],
     image tangent coords [G, T, 2].
     """
-    del nkern
-    n = n_all[verts]          # [G, T, 3, 3]
-    beta = beta_all[verts]
-    A = A_all[verts]
-    Aprev = Aprev_all[verts]
+    n = _gather_vec(packed, 0, verts)          # [G, T, 3, 3]
+    beta = _gather_vec(packed, 3, verts)
+    A = _gather_mat(packed, 6, verts)
+    Aprev = _gather_mat(packed, 10, verts)
     wp = grad[:, None, None]
     npos, _ = _rayprop_gs(n, beta, A, Aprev, wp, wpm1, wpm2)
 
@@ -137,17 +150,16 @@ def _search_chunk(nkern: int, verts, vmask, gvec, grad, tvec, pvec, vert_cvec,
 
 
 @jax.jit
-def _interp_A_at(ivec, grad, wpm1, wpm2, pix4, wgt4, cvec4,
-                 n_all, beta_all, A_all, Aprev_all):
+def _interp_A_at(ivec, grad, wpm1, wpm2, pix4, wgt4, cvec4, packed):
     """interp_invmagmat_to_point: 4-ray bilinear A at image positions.
 
     ivec [N, 3] (unnormalized ok for transport), pix4/wgt4 [N, 4] ray indices
     + weights, cvec4 [N, 4, 3] pixel centers.
     """
-    n = n_all[pix4]
-    beta = beta_all[pix4]
-    A = A_all[pix4]
-    Aprev = Aprev_all[pix4]
+    n = _gather_vec(packed, 0, pix4)
+    beta = _gather_vec(packed, 3, pix4)
+    A = _gather_mat(packed, 6, pix4)
+    Aprev = _gather_mat(packed, 10, pix4)
     wp = grad[:, None]
     npos, Ap = _rayprop_gs(n, beta, A, Aprev, wp, wpm1, wpm2)
     Ac = paratrans_tangtensor(Ap, npos, cvec4)
@@ -161,10 +173,17 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
     """All lensed images of the given source galaxies (host orchestration,
     device math).  gal_pos [G, 3] comoving; returns ImageGals.
 
+    rays: the packed f32[21, N] SoA buffer (preferred — stays on device
+    across the whole search) or a Rays NamedTuple (packed on entry).
     nest2index: optional [npix] host array mapping a ray's NEST pixel to its
     index in the ray arrays (None = rays stored in nest order; the driver
     stores rays in RING order and passes ring_of_nest)."""
-    dtype = rays.n.dtype
+    if not isinstance(rays, (jnp.ndarray, np.ndarray)):
+        from ..rays import soa
+
+        rays = soa.pack(rays)
+    packed = jnp.asarray(rays)
+    dtype = packed.dtype
     G = len(gal_pos)
     if G == 0:
         return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
@@ -194,12 +213,11 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
         verts_idx = verts_h if nest2index is None else nest2index[verts_h]
 
         hit, ix, iy = _search_chunk(
-            0,
+            packed,
             jnp.asarray(verts_idx), jnp.asarray(vmask_h),
             jnp.asarray(gvec, dtype), jnp.asarray(grad, dtype),
             jnp.asarray(_tvec(gvec), dtype), jnp.asarray(_pvec(gvec), dtype),
-            jnp.asarray(vert_cvec_h, dtype),
-            rays.n, rays.beta, rays.A, rays.Aprev, wpm1j, wpm2j,
+            jnp.asarray(vert_cvec_h, dtype), wpm1j, wpm2j,
         )
         hit = np.asarray(hit)
         gi, ti = np.nonzero(hit)
@@ -207,20 +225,18 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
             continue
         ixh = np.asarray(ix)[gi, ti]
         iyh = np.asarray(iy)[gi, ti]
-        # dedup: a source sitting on a shared triangle edge registers in both
-        # triangles; keep one copy of images closer than ~1e-3 pixel
+        # dedup: a source sitting on a shared triangle edge/vertex registers
+        # in several triangles with near-identical image positions; sort by
+        # (gal, ix, iy) so duplicates are consecutive and drop rows within
+        # tol of their predecessor (vectorized; was an O(hits^2) loop)
         tol = 1e-3 * np.sqrt(4.0 * np.pi / len(tables.ring_of_nest))
+        order = np.lexsort((iyh, ixh, gi))
+        dup = np.zeros(len(gi), bool)
+        dup[1:] = ((np.diff(gi[order]) == 0)
+                   & (np.abs(np.diff(ixh[order])) < tol)
+                   & (np.abs(np.diff(iyh[order])) < tol))
         keep = np.ones(len(gi), bool)
-        for g in np.unique(gi[np.bincount(gi, minlength=Gc)[gi] > 1]):
-            rows = np.flatnonzero(gi == g)
-            for a_i in range(1, len(rows)):
-                for b_i in range(a_i):
-                    if keep[rows[b_i]] and np.hypot(
-                        ixh[rows[a_i]] - ixh[rows[b_i]],
-                        iyh[rows[a_i]] - iyh[rows[b_i]],
-                    ) < tol:
-                        keep[rows[a_i]] = False
-                        break
+        keep[order] = ~dup
         gi, ti, ixh, iyh = gi[keep], ti[keep], ixh[keep], iyh[keep]
         tv, pv = _tvec(gvec), _pvec(gvec)
         ivec = gvec[gi] + ixh[:, None] * tv[gi] + iyh[:, None] * pv[gi]
@@ -235,8 +251,7 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
             jnp.asarray(ivec, dtype), jnp.asarray(grad_all[i0 + gi], dtype),
             wpm1j, wpm2j,
             jnp.asarray(pix4_idx), jnp.asarray(wgt4, dtype),
-            jnp.asarray(cvec4, dtype),
-            rays.n, rays.beta, rays.A, rays.Aprev,
+            jnp.asarray(cvec4, dtype), packed,
         )
         Aimg = np.asarray(Aimg, np.float64)
         # theta-phi -> ra-dec basis (gridsearch.c:800-806)

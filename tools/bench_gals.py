@@ -1,0 +1,79 @@
+"""Galaxy grid-search throughput benchmark (VERDICT round-1 item 9).
+
+Builds a full-sky ray grid at BENCH_RAY_ORDER (default 10 -> 12.6M rays),
+initializes straight rays at a lens-plane radius, scatters BENCH_NGALS
+(default 100k) source galaxies in the matching radial bin, and times
+gals.gridsearch.find_images end to end (device-resident packed ray buffer).
+
+Usage: python tools/bench_gals.py  (runs on whatever jax.devices() gives).
+Prints one JSON line {"metric": "gals_per_sec_gridsearch", ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+from calclens_tpu.config import RayTraceConfig
+from calclens_tpu.driver import Raytracer, plane_params
+from calclens_tpu.gals import gridsearch as gs
+
+
+def main():
+    ray_order = int(os.environ.get("BENCH_RAY_ORDER", 10))
+    ngals = int(os.environ.get("BENCH_NGALS", 100_000))
+
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+        SHTOrder=min(ray_order, 8), rayOrder=ray_order, bundleOrder=3,
+        Precision="f32",
+    ).finalize()
+    rt = Raytracer(cfg)
+    rt.init_rays()
+    # rays at the start of plane 3's bin (no deflection needed for timing)
+    plane = 3
+    pp = plane_params(cfg, rt.cosmo, plane)
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(ngals, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    binL = cfg.maxComvDistance / cfg.NumLensPlanes
+    rad = rng.uniform(plane * binL + 1.0, (plane + 1) * binL - 1.0, ngals)
+    gal_pos = v * rad[:, None]
+    gal_idx = np.arange(ngals)
+
+    tables = gs.GridSearchTables(cfg.rayOrder)
+
+    # warmup (compiles the two search kernels)
+    t0 = time.perf_counter()
+    images = gs.find_images(cfg, tables, rt.rays_packed, gal_pos[:4096],
+                            gal_idx[:4096], pp.rad, pp.rad_minus1,
+                            chunk=4096, nest2index=tables.ring_of_nest)
+    warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    images = gs.find_images(cfg, tables, rt.rays_packed, gal_pos, gal_idx,
+                            pp.rad, pp.rad_minus1, chunk=4096,
+                            nest2index=tables.ring_of_nest)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "gals_per_sec_gridsearch",
+        "value": ngals / dt,
+        "unit": "gals/s",
+        "ngals": ngals,
+        "nrays": int(rt.rays_packed.shape[1]),
+        "images_found": int(len(images.index)),
+        "wall_s": dt,
+        "warmup_s": warm,
+        "ray_order": ray_order,
+        "device": str(__import__("jax").devices()[0].platform),
+    }))
+
+
+if __name__ == "__main__":
+    main()
