@@ -98,6 +98,26 @@ def cic_deposit_3d(pos, nfft: int, L):
     return grid
 
 
+def _poisson_kern(kx, ky, kz, dL, potfact):
+    """Discrete Green function x double CIC deconvolution at physical wave
+    vectors (broadcastable [n,1,1]/[1,m,1]/[1,1,k]); zero mode zeroed
+    (fftpoissonsolve.c:300-417)."""
+    def s2(k):
+        return jnp.sin(k * dL / 2.0) ** 2
+
+    s = s2(kx) + s2(ky) + s2(kz)
+    grfcn = -dL * dL / 4.0 / jnp.where(s > 0, s, 1.0)
+    kny = jnp.pi / dL
+
+    def w1(k):
+        x = jnp.pi * jnp.abs(k) / (2.0 * kny)
+        return jnp.where(k != 0.0, jnp.sin(x) / jnp.where(x != 0, x, 1.0), 1.0)
+
+    w = (w1(kx) * w1(ky) * w1(kz)) ** 2
+    kern = potfact * grfcn / jnp.where(w > 0, w * w, 1.0)
+    return jnp.where((kx == 0) & (ky == 0) & (kz == 0), 0.0, kern)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def potential_from_counts(counts, nfft: int, L, a, mp):
     """Counts grid -> potential grid (fftpoissonsolve.c:300-417)."""
@@ -109,25 +129,29 @@ def potential_from_counts(counts, nfft: int, L, a, mp):
 
     kfull = 2.0 * jnp.pi * jnp.fft.fftfreq(nfft) / dL * 1.0
     khalf = 2.0 * jnp.pi * jnp.fft.rfftfreq(nfft) / dL
-
-    def s2(k):
-        return jnp.sin(k * dL / 2.0) ** 2
-
-    s = (s2(kfull)[:, None, None] + s2(kfull)[None, :, None]
-         + s2(khalf)[None, None, :])
-    grfcn = -dL * dL / 4.0 / jnp.where(s > 0, s, 1.0)
-
-    kny = jnp.pi / dL
-
-    def w1(k):
-        x = jnp.pi * k / (2.0 * kny)
-        return jnp.where(k != 0.0, jnp.sin(x) / jnp.where(x != 0, x, 1.0), 1.0)
-
-    w = (w1(jnp.abs(kfull))[:, None, None] * w1(jnp.abs(kfull))[None, :, None]
-         * w1(khalf)[None, None, :]) ** 2
-    kern = potfact * grfcn / jnp.where(w > 0, w * w, 1.0)
-    kern = kern.at[0, 0, 0].set(0.0)
+    kern = _poisson_kern(kfull[:, None, None], kfull[None, :, None],
+                         khalf[None, None, :], dL, potfact)
     return jnp.fft.irfftn(rho_k * kern, s=(nfft, nfft, nfft)).astype(jnp.float32)
+
+
+def potential_from_counts_slab(counts, nfft: int, L, a, mp, mesh):
+    """Slab-decomposed distributed variant (reference DD-4, fftw3-mpi slab
+    decomposition): counts sharded as x-slabs over the mesh; local
+    rfft(z)+fft(y), all_to_all transpose, fft(x), kernel multiply in the
+    y-sharded spectral layout, inverse retraced
+    (parallel/slabfft.py)."""
+    from .parallel import slabfft
+
+    dL = L / nfft
+    potfact = FOUR_PI_G / a * mp / (dL * dL * dL)
+    kscale = 2.0 * jnp.pi / (nfft * dL)
+
+    def kern_fn(fx, fy, fz):
+        return _poisson_kern(fx * kscale, fy * kscale, fz * kscale,
+                             dL, potfact)
+
+    return slabfft.poisson_slab(counts.astype(jnp.float32), nfft, kern_fn,
+                                mesh).astype(jnp.float32)
 
 
 def compute_potential_grid(pos, L, nfft, a, omega_m, n_total):
