@@ -26,6 +26,12 @@ import time
 
 import numpy as np
 import jax
+
+# persistent compiled-executable cache: NSIDE >= 4096 first-compiles cost
+# many minutes through the remote AOT service; reruns hit this cache
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-calclens-tpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax.numpy as jnp
 
 from calclens_tpu.config import RayTraceConfig

@@ -600,9 +600,18 @@ def _write_seg(plan, buf, seg, off: int):
 
 @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
 def _correct_maps(plan, s):
-    """Corrections on the stacked [6, npix] buffer, same-shape output so the
-    input buffer is donated (no second six-map allocation)."""
-    return jnp.stack(_apply_covariant_corrections(plan, s))
+    """Covariant corrections applied as in-place row updates on the donated
+    [6, npix] buffer (stacking six fresh rows would transiently double the
+    six maps — 9 GB at NSIDE 4096).  Rows: phi, dth, dph_raw, dthth,
+    dthph_raw, dphph_raw -> pot, gt, gp, gtt, gtp, gpp."""
+    sth = plan.rings_to_map(
+        jnp.broadcast_to(plan.sth_ring[:, None], (plan.nrings_pad, plan.P)))
+    cot = plan.rings_to_map(
+        jnp.broadcast_to(plan.cot_ring[:, None], (plan.nrings_pad, plan.P)))
+    s = s.at[2].set(s[2] / sth)
+    s = s.at[4].set(s[4] / sth - cot * s[2])
+    s = s.at[5].set(s[5] / sth**2 + cot * s[1])
+    return s
 
 
 def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):

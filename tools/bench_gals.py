@@ -17,6 +17,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+import jax
+
+# persistent compiled-executable cache: NSIDE >= 4096 first-compiles cost
+# many minutes through the remote AOT service; reruns hit this cache
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-calclens-tpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 import jax.numpy as jnp
 
 from calclens_tpu.config import RayTraceConfig
