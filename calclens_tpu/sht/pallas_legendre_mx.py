@@ -59,9 +59,14 @@ def _logc_table(nm_pad: int) -> np.ndarray:
 
 
 def _seed_init(logc_col, mf, ln_sth):
-    """Direct diagonal seed lambda_mm = stored * 2^(64 k) from log2 space."""
+    """Direct diagonal seed lambda_mm = stored * 2^(64 k) from log2 space.
+
+    k chosen so stored lands in [2^-32, 2^32): lambda_mm at the equator
+    EXCEEDS 1 for large m (max|Y_mm| ~ m^(1/4)), so a ceil(log2/64) window
+    would emit k=+1 there and the k>0 corfac cutoff would zero legitimate
+    values (the 10% q error seen on first hardware runs)."""
     log2lam = (logc_col + mf * ln_sth - _HALF_LN_4PI) * _LOG2E
-    kf = jnp.ceil(log2lam * (1.0 / 64.0))
+    kf = jnp.floor((log2lam + 32.0) * (1.0 / 64.0))
     seedval = jnp.exp2(log2lam - 64.0 * kf)
     return seedval, kf.astype(jnp.int32)
 
@@ -139,30 +144,36 @@ def _synth_mx_kernel(LB, TM, TJ, ncol,
             k_ref[...] = k
             return 0
 
-        jax.lax.fori_loop(0, LB, body, 0, unroll=2)
+        jax.lax.fori_loop(0, LB, body, 0)
 
-        # stream matrix per m, then ONE MXU contraction over the l block
-        l_col = (lb * LB
-                 + jax.lax.broadcasted_iota(jnp.int32, (LB, 1), 0))
-        lf_col = l_col.astype(jnp.float32)
-        l2_col = lf_col * (lf_col + 1.0)
-        sgn_col = 1.0 - 2.0 * (l_col % 2).astype(jnp.float32)  # (-1)^l
+        # stream matrix per m (transposed [ncol, LB]: alm arrives l-on-lanes
+        # so stream rows are sublane concats — no in-kernel transposes),
+        # then ONE MXU contraction over the l block
+        l_row = (lb * LB
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1))
+        lf_row = l_row.astype(jnp.float32)
+        l2_row = lf_row * (lf_row + 1.0)
+        sgn_row = 1.0 - 2.0 * (l_row % 2).astype(jnp.float32)  # (-1)^l
         for mm in range(TM):
-            a_re = are_ref[:, mm: mm + 1]
-            a_im = aim_ref[:, mm: mm + 1]
+            a_re = are_ref[mm: mm + 1, :]
+            a_im = aim_ref[mm: mm + 1, :]
             if ncol == 16:
-                h_re = hre_ref[:, mm: mm + 1]
-                h_im = him_ref[:, mm: mm + 1]
+                h_re = hre_ref[mm: mm + 1, :]
+                h_im = him_ref[mm: mm + 1, :]
                 S8 = jnp.concatenate(
-                    [a_re, a_im, a_re * lf_col, a_im * lf_col,
-                     h_re, h_im, a_re * l2_col, a_im * l2_col], axis=1)
-                S = jnp.concatenate([S8, S8 * sgn_col], axis=1)
+                    [a_re, a_im, a_re * lf_row, a_im * lf_row,
+                     h_re, h_im, a_re * l2_row, a_im * l2_row], axis=0)
+                S = jnp.concatenate([S8, S8 * sgn_row], axis=0)
             else:
                 S = jnp.concatenate(
-                    [a_re, a_im, a_re * sgn_col, a_im * sgn_col], axis=1)
+                    [a_re, a_im, a_re * sgn_row, a_im * sgn_row], axis=0)
+            # HIGHEST: the summed-by-parts streams (l*a vs d*a+) cancel
+            # by ~1/l after the cot/inv combination — bf16 MXU inputs (the
+            # TPU default) turn that into O(1) error at high l
             out_ref[mm] += jax.lax.dot_general(
-                S, p_scr[mm], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                S, p_scr[mm], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnums=(0, 6))
@@ -171,7 +182,10 @@ def _synth_mx_raw(plan_key, are, aim, hre, him, geo, ncol):
     grid = (nm_pad // TM, J_pad // TJ, nl_pad // LB)
     logc = jnp.asarray(_logc_table(nm_pad))
     kern = partial(_synth_mx_kernel, LB, TM, TJ, ncol)
-    ab_spec = pl.BlockSpec((LB, TM), lambda m, j, lb: (lb, m),
+    # alm streams arrive TRANSPOSED [nm_pad, nl_pad]: (TM, LB) = (8, 128)
+    # blocks satisfy Mosaic's (8, 128)-divisibility, and l-on-lanes lets the
+    # kernel build the stream matrix from sublane rows without transposes
+    ab_spec = pl.BlockSpec((TM, LB), lambda m, j, lb: (m, lb),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
@@ -245,7 +259,7 @@ def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128):
         hr = hi = jnp.zeros((1, nm), jnp.float32)
 
     def prep(x):
-        return _pad_to(_pad_to(x, nl_pad, 0), nm_pad, 1)
+        return _pad_to(_pad_to(x, nl_pad, 0), nm_pad, 1).T
 
     geo = _geo_rows(plan, J_pad)
     key = (nl_pad, nm_pad, J_pad, LB, TM, TJ)

@@ -210,6 +210,7 @@ def _geo_view(plan: SHTPlan, j0: int, j1: int):
         v.J, v.nm, v.nl, v.lblock = j1 - j0, plan.nm, plan.nl, plan.lblock
         v.dtype, v.cdtype, v.spec = plan.dtype, plan.cdtype, None
         v.use_pallas = getattr(plan, "use_pallas", None)
+        v.use_pallas_mx = getattr(plan, "use_pallas_mx", None)
         v.m_int, v.m_f = plan.m_int, plan.m_f
         v.cth, v.sth = plan.cth[j0:j1], plan.sth[j0:j1]
         v.cot, v.inv_sth = plan.cot[j0:j1], plan.inv_sth[j0:j1]
@@ -401,6 +402,13 @@ def legendre_synthesis(plan: SHTPlan, alm, derivs: bool):
 
 def _legendre_synth_dispatch(plan, alm, derivs):
     if _use_pallas(plan):
+        # MXU-contraction kernel by default (2.2x the VPU kernel at
+        # NSIDE 1024: 0.203 s vs 0.452 s measured on v5e); plan.use_pallas_mx
+        # = False falls back to the VPU accumulation kernel
+        if getattr(plan, "use_pallas_mx", None) is not False:
+            from . import pallas_legendre_mx as MX
+
+            return MX.synthesis_pallas_mx(plan, alm, derivs)
         from . import pallas_legendre as PL
 
         return PL.synthesis_pallas(plan, alm, derivs)
