@@ -129,8 +129,8 @@ def analysis_rings(plan: SHTPlan, maps):
     Xf = X.reshape((-1,) + X.shape[-2:])
     out = []
     for i in range(Xf.shape[0]):
-        F = czt_blocked(Xf[i], plan.n_dev, K=plan.P, L=plan.L, sign=-1,
-                        cdtype=plan.cdtype, block=plan.ring_block)
+        F = _czt_rows_sharded(Xf[i], plan.n_dev, plan.P, plan.L, -1,
+                              plan=plan)
         mmod = plan.m_int[None, :] % plan.n_dev[:, None]
         G = jnp.take_along_axis(F, mmod.astype(jnp.int32), axis=1)
         out.append(G * _ring_phase(plan, -1))
@@ -162,11 +162,46 @@ def synthesis_rings(plan: SHTPlan, Q):
     Yf = Y.reshape((-1,) + Y.shape[-2:])
     out = []
     for i in range(Yf.shape[0]):
-        X = czt_blocked(Yf[i], jnp.asarray(plan.n_dev), K=plan.P, L=plan.L,
-                        sign=+1, cdtype=plan.cdtype, block=plan.ring_block)
+        X = _czt_rows_sharded(Yf[i], plan.n_dev, plan.P, plan.L, +1,
+                              plan=plan)
         out.append(plan.rings_to_map(jnp.real(X).astype(plan.dtype)))
     res = jnp.stack(out, axis=0)
     return _cst_blocks1(plan, res.reshape(lead + res.shape[-1:]))
+
+
+
+def _czt_rows_sharded(x, n_host, K, L, sign, plan):
+    """czt over rows with the FFTs inside shard_map when the plan carries a
+    mesh: GSPMD cannot batch-partition FFT ops (it all-gathers the [R, L]
+    chirp work arrays — measured 8.4M-element all-gathers at order 9, and
+    c64[32768, 65536] = 17 GB replicated at NSIDE 8192), while a per-shard
+    local FFT over the device's ring rows needs no communication at all
+    (rows in, rows out)."""
+    R = x.shape[0]
+    ndev = 0 if plan.spec is None else plan.spec.mesh.devices.size
+    if not ndev or R % ndev:
+        return czt_blocked(x, jnp.asarray(n_host), K=K, L=L, sign=sign,
+                           cdtype=plan.cdtype, block=plan.ring_block)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.sharding import AXIS
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    mesh = plan.spec.mesh
+    blk = min(plan.ring_block, R // ndev)
+
+    def body(xl, nl):
+        return czt_blocked(xl, nl, K=K, L=L, sign=sign,
+                           cdtype=plan.cdtype, block=blk)
+
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(AXIS, None)))
+    nv = jnp.asarray(np.asarray(n_host))
+    return shard_map(body, mesh=mesh, in_specs=(P(AXIS, None), P(AXIS)),
+                     out_specs=P(AXIS, None))(x, nv)
 
 
 def fold_pairs(plan: SHTPlan, G):

