@@ -226,13 +226,15 @@ def _geo_rows(plan, J_pad):
     return jnp.asarray(out)
 
 
-def _dfac(nl_pad, nm_pad):
-    """d_lm = sqrt((l^2-m^2)(2l+1)/(2l-1)) (the d_theta lowering factor)."""
-    l = np.arange(nl_pad, dtype=np.float64)[:, None]
-    m = np.arange(nm_pad, dtype=np.float64)[None, :]
-    num = np.maximum(l * l - m * m, 0.0) * (2.0 * l + 1.0)
-    den = np.maximum(2.0 * l - 1.0, 1.0)
-    return np.sqrt(num / den)
+def _dfac_rows(nl, nm):
+    """d_lm = sqrt((l^2-m^2)(2l+1)/(2l-1)) for l = 1..nl (the d_theta
+    lowering factor), computed IN-GRAPH: as a literal this is [nl, nm] f32
+    (600 MB at NSIDE 4096) and blows the compile-request size limit."""
+    l = jnp.arange(1, nl + 1, dtype=jnp.float32)[:, None]
+    m = jnp.arange(nm, dtype=jnp.float32)[None, :]
+    num = jnp.maximum(l * l - m * m, 0.0) * (2.0 * l + 1.0)
+    den = jnp.maximum(2.0 * l - 1.0, 1.0)
+    return jnp.sqrt(num / den)
 
 
 def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128):
@@ -252,9 +254,9 @@ def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128):
     if derivs:
         # shifted stream h[l] = d_{l+1} a_{l+1} (summation by parts of the
         # d_theta lowering recurrence)
-        d = jnp.asarray(_dfac(nl + 1, nm)[1:].astype(np.float32))
-        hr = jnp.concatenate([ar[1:] * d[:-1], jnp.zeros((1, nm), ar.dtype)])
-        hi = jnp.concatenate([ai[1:] * d[:-1], jnp.zeros((1, nm), ai.dtype)])
+        d = _dfac_rows(nl - 1, nm)  # rows l = 1..nl-1
+        hr = jnp.concatenate([ar[1:] * d, jnp.zeros((1, nm), ar.dtype)])
+        hi = jnp.concatenate([ai[1:] * d, jnp.zeros((1, nm), ai.dtype)])
     else:
         hr = hi = jnp.zeros((1, nm), jnp.float32)
 
