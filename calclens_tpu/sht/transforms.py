@@ -513,50 +513,10 @@ def _rows_dft_belt(plan: SHTPlan, Y):
     return (jnp.fft.irfft(direct + folded, n=P, axis=-1) * P).astype(plan.dtype)
 
 
-def _rows_dft_cap_folded(plan: SHTPlan, Yp, a: int, b: int):
-    """Cap rings [a, b) (ring length n < P): fold m into m mod n bins (the
-    synthesis sum is n-periodic in m once the ring phase is applied), then
-    chirp-Z at K = L/2 = the octave's padded ring length instead of the
-    global L = 8 nside — the FFT length drops by up to nside/(r+1).
-    Yp [k, b-a, nm] -> [k, b-a, P] real (columns beyond n are zero)."""
-    k, rows, nm = Yp.shape
-    npr = np.asarray(plan.npix_ring[a:b])
-    pieces = []
-    # octave runs in ROW order (sizes are monotone: increasing in a north
-    # cap, decreasing in a south cap)
-    octv = np.frexp(npr.astype(np.float64))[1]
-    cuts = [0] + list(np.flatnonzero(np.diff(octv)) + 1) + [len(npr)]
-    for ia, ib in zip(cuts[:-1], cuts[1:]):
-        nv_h = npr[ia:ib]
-        nmax = max(int(1 << int(np.ceil(np.log2(int(nv_h.max()))))), 4)
-        Yb = Yp[:, ia:ib]
-        nv = jnp.asarray(nv_h.astype(np.int32))[None, :, None, None]
-        jmax = int(np.ceil(nm / int(nv_h.min())))
-        bidx = jnp.arange(nmax, dtype=jnp.int32)[None, None, :, None]
-        jj = jnp.arange(jmax, dtype=jnp.int32)[None, None, None, :]
-        src = bidx + jj * nv
-        ok = (src < nm) & (bidx < nv)
-        srcc = jnp.where(ok, src, 0)
-        g = jnp.take_along_axis(
-            Yb[:, :, None, :], jnp.broadcast_to(
-                srcc.reshape(1, ib - ia, 1, nmax * jmax),
-                (k, ib - ia, 1, nmax * jmax)), axis=-1)
-        g = jnp.where(ok.reshape(1, ib - ia, 1, nmax * jmax), g, 0)
-        qf = jnp.sum(g.reshape(k, ib - ia, nmax, jmax), axis=-1)
-        n_rows = np.tile(nv_h.astype(np.int32), k)
-        X = _czt_rows_padded(qf.reshape(k * (ib - ia), nmax), n_rows,
-                             K=nmax, L=2 * nmax, sign=+1,
-                             cdtype=plan.cdtype,
-                             block=min(plan.ring_block, 1024))
-        Xr = jnp.real(X).astype(plan.dtype).reshape(k, ib - ia, nmax)
-        pieces.append(jnp.pad(Xr, ((0, 0), (0, 0), (0, plan.P - nmax))))
-    return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
-
-
 def _rows_dft(plan: SHTPlan, Y, r0: int, r1: int):
     """Per-ring inverse DFTs for contiguous rings [r0, r1): Y [k, rows, nm]
     (wfold and ring phase already applied) -> X [k, rows, P] real.  Belt
-    rings dispatch to the irfft fold; cap rings to the m-folded chirp-Z."""
+    rings dispatch to the irfft fold; cap rings to the chirp-Z."""
     k, Rblk, nm = Y.shape
     npr = np.asarray(plan.npix_ring[r0:r1])
     belt = npr == plan.P
@@ -572,7 +532,19 @@ def _rows_dft(plan: SHTPlan, Y, r0: int, r1: int):
         if plan.npix_ring[a] == plan.P:
             pieces.append(_rows_dft_belt(plan, Yp))
         else:
-            pieces.append(_rows_dft_cap_folded(plan, Yp, a, b))
+            # caps keep the single full-L chirp-Z: an m-folded per-octave
+            # variant (fold q_m into m mod n, L = 2 x octave length) was
+            # measured SLOWER at NSIDE 4096 (cap blocks 12.2 s vs ~10 s) —
+            # the many small CZT calls' fixed FFT overhead and the fold
+            # gathers outweigh the shorter transforms (cf. TPU_NOTES "FFT
+            # calls carry a large fixed overhead")
+            n_rows = np.tile(np.asarray(plan.n_dev[a:b]), k)
+            X = _czt_rows_padded(Yp.reshape(k * (b - a), nm), n_rows,
+                                 K=plan.P, L=plan.L, sign=+1,
+                                 cdtype=plan.cdtype,
+                                 block=min(plan.ring_block, 1024))
+            pieces.append(jnp.real(X).astype(plan.dtype)
+                          .reshape(k, b - a, plan.P))
     return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
 
 
