@@ -480,6 +480,15 @@ def _rows_phase(plan: SHTPlan, r0: int, r1: int, sign):
     return (jnp.cos(ph) + 1j * jnp.sin(ph)).astype(plan.cdtype)
 
 
+def _next_fft_len(n: int) -> int:
+    """Smallest 2^k or 3*2^k >= n (XLA FFT handles both efficiently)."""
+    p2 = 1 << (int(n) - 1).bit_length()
+    p3 = 3 * (1 << max((int(n) - 1) // 3, 1).bit_length())
+    while p3 < n:
+        p3 *= 2
+    return min(p2, p3)
+
+
 def _czt_rows_padded(x, n, K, L, sign, cdtype, block):
     """czt_blocked tolerant of row counts that don't divide `block`."""
     from .czt import czt_blocked
@@ -497,55 +506,42 @@ def _czt_rows_padded(x, n, K, L, sign, cdtype, block):
 def _rows_dft_belt(plan: SHTPlan, Y):
     """Belt rows (ring length exactly P): exact inverse real DFT via a
     Hermitian fold + irfft — ~4x leaner than the chirp-Z (modes m > P/2
-    alias onto P - m in the length-P ring sum)."""
+    alias onto P - m in the length-P ring sum).
+
+    The fold is built from contiguous slices + one flip instead of gathers
+    (gathers run ~110 M elem/s; the folded sources P-k for k in
+    (P-nm, P/2) are a reversed contiguous column range)."""
     P, nm = plan.P, Y.shape[-1]
-    kk = np.arange(P // 2 + 1)
-    direct_ok = kk < nm
-    kd = np.where(direct_ok, kk, 0)
-    fac = np.where((kk == 0) | (kk == P // 2), 1.0, 0.5)
-    direct = jnp.take(Y, kd, axis=-1) * jnp.asarray(
-        (fac * direct_ok).astype(np.float32))
-    ksrc = P - kk
-    fold_ok = (ksrc < nm) & (kk > 0) & (kk != P // 2)
-    ks = np.where(fold_ok, ksrc, 0)
-    folded = 0.5 * jnp.conj(jnp.take(Y, ks, axis=-1)) * jnp.asarray(
-        fold_ok.astype(np.float32))
-    return (jnp.fft.irfft(direct + folded, n=P, axis=-1) * P).astype(plan.dtype)
+    H = P // 2 + 1
+    # direct part: k < min(nm, H), with half-weight for 0 < k < P/2
+    kd_hi = min(nm, H)
+    fac = np.ones(kd_hi, np.float32) * 0.5
+    fac[0] = 1.0
+    if kd_hi == H:
+        fac[-1] = 1.0
+    half = Y[..., :kd_hi] * jnp.asarray(fac)
+    if kd_hi < H:
+        half = jnp.pad(half, ((0, 0),) * (Y.ndim - 1) + ((0, H - kd_hi),))
+    # folded part: half[k] += 0.5 conj(Y[P-k]) for max(P-nm+1, 1) <= k < P/2
+    lo = max(P - nm + 1, 1)
+    hi = P // 2
+    if hi > lo:
+        src = jnp.flip(Y[..., P - hi + 1: P - lo + 1], axis=-1)
+        half = half.at[..., lo: hi].add(0.5 * jnp.conj(src))
+    return (jnp.fft.irfft(half, n=P, axis=-1) * P).astype(plan.dtype)
 
 
-def _rows_dft(plan: SHTPlan, Y, r0: int, r1: int):
-    """Per-ring inverse DFTs for contiguous rings [r0, r1): Y [k, rows, nm]
-    (wfold and ring phase already applied) -> X [k, rows, P] real.  Belt
-    rings dispatch to the irfft fold; cap rings to the chirp-Z."""
-    k, Rblk, nm = Y.shape
-    npr = np.asarray(plan.npix_ring[r0:r1])
-    belt = npr == plan.P
-    # belt rings form one contiguous sub-range of any contiguous ring range
-    idx = np.flatnonzero(belt)
-    pieces = []
-    bounds = ([r0, r0 + int(idx[0]), r0 + int(idx[-1]) + 1, r1]
-              if len(idx) else [r0, r1])
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        if b <= a:
-            continue
-        Yp = Y[:, a - r0: b - r0]
-        if plan.npix_ring[a] == plan.P:
-            pieces.append(_rows_dft_belt(plan, Yp))
-        else:
-            # caps keep the single full-L chirp-Z: an m-folded per-octave
-            # variant (fold q_m into m mod n, L = 2 x octave length) was
-            # measured SLOWER at NSIDE 4096 (cap blocks 12.2 s vs ~10 s) —
-            # the many small CZT calls' fixed FFT overhead and the fold
-            # gathers outweigh the shorter transforms (cf. TPU_NOTES "FFT
-            # calls carry a large fixed overhead")
-            n_rows = np.tile(np.asarray(plan.n_dev[a:b]), k)
-            X = _czt_rows_padded(Yp.reshape(k * (b - a), nm), n_rows,
-                                 K=plan.P, L=plan.L, sign=+1,
-                                 cdtype=plan.cdtype,
-                                 block=min(plan.ring_block, 1024))
-            pieces.append(jnp.real(X).astype(plan.dtype)
-                          .reshape(k, b - a, plan.P))
-    return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+def _seg_gather(plan, X, a: int, b: int):
+    """[k, b-a, P] per-ring values -> packed pixels [k, seg] for rings
+    [a, b) (variable ring lengths; the general cap-range path)."""
+    k = X.shape[0]
+    sp = np.append(plan.startpix[: plan.nrings], plan.npix)[a: b + 1]
+    p0, p1 = int(sp[0]), int(sp[-1])
+    p = jnp.arange(p1 - p0, dtype=jnp.int32) + jnp.int32(p0)
+    spd = jnp.asarray(sp[:-1], jnp.int32)
+    r = jnp.searchsorted(spd, p, side="right") - 1
+    idx = r * X.shape[-1] + (p - spd[r])
+    return jnp.take(X.reshape(k, (b - a) * X.shape[-1]), idx, axis=-1)
 
 
 def _synth_ring_rows(plan: SHTPlan, S, r0: int, r1: int):
@@ -553,20 +549,36 @@ def _synth_ring_rows(plan: SHTPlan, S, r0: int, r1: int):
 
     S [k, r1-r0, nm] complex q-values per ring -> pixel values [k, seg]
     where seg = startpix[r1] - startpix[r0] (contiguous in the RING map).
+    Belt sub-ranges emit pixels by plain reshape (every belt ring has
+    exactly P pixels, so rows ARE the pixel run — no gather); cap
+    sub-ranges gather through the ring-length table.
     """
     k, Rblk, nm = S.shape
     wfold = jnp.asarray(np.where(np.arange(nm) == 0, 1.0, 2.0), plan.dtype)
     Y = S * wfold[None, None, :] * _rows_phase(plan, r0, r1, +1)[None]
-    X = _rows_dft(plan, Y, r0, r1)
-    # segment extraction: pixel p in [startpix[r0], startpix[r1]) lives on
-    # ring r(p) at offset p - startpix[r(p)]
-    sp = np.append(plan.startpix[: plan.nrings], plan.npix)[r0: r1 + 1]
-    p0, p1 = int(sp[0]), int(sp[-1])
-    p = jnp.arange(p1 - p0, dtype=jnp.int32) + jnp.int32(p0)
-    spd = jnp.asarray(sp[:-1], jnp.int32)
-    r = jnp.searchsorted(spd, p, side="right") - 1
-    idx = r * plan.P + (p - spd[r])
-    return jnp.take(X.reshape(k, Rblk * plan.P), idx, axis=-1)
+    npr = np.asarray(plan.npix_ring[r0:r1])
+    belt = npr == plan.P
+    idxb = np.flatnonzero(belt)
+    bounds = ([r0, r0 + int(idxb[0]), r0 + int(idxb[-1]) + 1, r1]
+              if len(idxb) else [r0, r1])
+    segs = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if b <= a:
+            continue
+        Yp = Y[:, a - r0: b - r0]
+        if plan.npix_ring[a] == plan.P:
+            segs.append(_rows_dft_belt(plan, Yp).reshape(k, -1))
+        else:
+            nmax = int(npr[a - r0: b - r0].max())
+            Lc = _next_fft_len(nmax + nm)
+            n_rows = np.tile(np.asarray(plan.n_dev[a:b]), k)
+            X = _czt_rows_padded(Yp.reshape(k * (b - a), nm), n_rows,
+                                 K=nmax, L=Lc, sign=+1,
+                                 cdtype=plan.cdtype,
+                                 block=min(plan.ring_block, 1024))
+            Xr = jnp.real(X).astype(plan.dtype).reshape(k, b - a, nmax)
+            segs.append(_seg_gather(plan, Xr, a, b))
+    return jnp.concatenate(segs, axis=-1) if len(segs) > 1 else segs[0]
 
 
 def _streams_from_q(plan, qphi, qth, qthth):
