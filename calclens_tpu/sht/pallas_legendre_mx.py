@@ -237,18 +237,13 @@ def _dfac_rows(nl, nm):
     return jnp.sqrt(num / den)
 
 
-def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128):
-    """MXU Legendre synthesis: drop-in for transforms.legendre_synthesis.
-
-    Returns (qN, qS) each [nkern, nm, J] complex64.
-    """
-    nl, nm, J = plan.nl, plan.nm, plan.J
-    TJ = min(TJ, max(-(-J // 128) * 128, 128))
+def mx_prep(nl: int, nm: int, alm, derivs: bool, TM=8, LB=128):
+    """alm -> the four padded TRANSPOSED stream arrays [nm_pad, nl_pad]
+    (a_re, a_im, h_re, h_im with h = d_{l+1} a_{l+1}).  Split out so the
+    host-streamed synthesis preps ONCE instead of once per j-block (~2.3 GB
+    of pad/transpose traffic per block at NSIDE 4096)."""
     nm_pad = -(-nm // TM) * TM
-    J_pad = -(-J // TJ) * TJ
     nl_pad = -(-nl // LB) * LB
-    ncol = 16 if derivs else 4
-
     ar = jnp.real(alm).astype(jnp.float32)
     ai = jnp.imag(alm).astype(jnp.float32)
     if derivs:
@@ -263,9 +258,29 @@ def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128):
     def prep(x):
         return _pad_to(_pad_to(x, nl_pad, 0), nm_pad, 1).T
 
+    return prep(ar), prep(ai), prep(hr), prep(hi)
+
+
+def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128,
+                        prepped=None):
+    """MXU Legendre synthesis: drop-in for transforms.legendre_synthesis.
+
+    Returns (qN, qS) each [nkern, nm, J] complex64.  `prepped` (from
+    mx_prep) skips the per-call stream preparation.
+    """
+    nl, nm, J = plan.nl, plan.nm, plan.J
+    TJ = min(TJ, max(-(-J // 128) * 128, 128))
+    nm_pad = -(-nm // TM) * TM
+    J_pad = -(-J // TJ) * TJ
+    nl_pad = -(-nl // LB) * LB
+    ncol = 16 if derivs else 4
+
+    if prepped is None:
+        prepped = mx_prep(nl, nm, alm, derivs, TM=TM, LB=LB)
+
     geo = _geo_rows(plan, J_pad)
     key = (nl_pad, nm_pad, J_pad, LB, TM, TJ)
-    c = _synth_mx_raw(key, prep(ar), prep(ai), prep(hr), prep(hi), geo, ncol)
+    c = _synth_mx_raw(key, *prepped, geo, ncol)
     c = c[:nm, :, :J]  # [nm, ncol, J]
 
     s_m = (1 - 2 * (jnp.arange(nm, dtype=jnp.int32) % 2)).astype(

@@ -435,15 +435,20 @@ def legendre_synthesis(plan: SHTPlan, alm, derivs: bool):
     return qN, qS
 
 
-def _legendre_synth_dispatch(plan, alm, derivs):
+def _use_pallas_mx(plan):
+    return (_use_pallas(plan)
+            and getattr(plan, "use_pallas_mx", None) is not False)
+
+
+def _legendre_synth_dispatch(plan, alm, derivs, prepped=None):
     if _use_pallas(plan):
         # MXU-contraction kernel by default (2.2x the VPU kernel at
         # NSIDE 1024: 0.203 s vs 0.452 s measured on v5e); plan.use_pallas_mx
         # = False falls back to the VPU accumulation kernel
-        if getattr(plan, "use_pallas_mx", None) is not False:
+        if _use_pallas_mx(plan):
             from . import pallas_legendre_mx as MX
 
-            return MX.synthesis_pallas_mx(plan, alm, derivs)
+            return MX.synthesis_pallas_mx(plan, alm, derivs, prepped=prepped)
         from . import pallas_legendre as PL
 
         return PL.synthesis_pallas(plan, alm, derivs)
@@ -631,13 +636,15 @@ def _alm2allmaps_streamed(plan: SHTPlan, alm, nblk: int):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm):
+def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
+                          prepped=None):
     """One streaming block as a standalone jitted unit (host-streamed path):
     alm -> (north pixel segment, south segment or None) for ring pairs
-    [j0, j1).  plan here is the _geo_view of the block."""
+    [j0, j1).  plan here is the _geo_view of the block.  prepped (from
+    pallas_legendre_mx.mx_prep) skips the per-block alm stream prep."""
     j0, j1 = Jblk_range
     view = _geo_view(plan, j0, j1)
-    qN, qS = _legendre_synth_dispatch(view, alm, True)
+    qN, qS = _legendre_synth_dispatch(view, alm, True, prepped=prepped)
     sN = _streams_from_q(plan, qN[0].T, qN[1].T, qN[2].T)
     north = _synth_ring_rows(plan, sN, j0, j1)
     j1s = min(j1, full_J - 1)
@@ -687,10 +694,18 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     assert J % nblk == 0, (J, nblk)
     Jblk = J // nblk
     sp_ext = np.append(plan.startpix[: plan.nrings], plan.npix)
+    prepped = None
+    if _use_pallas_mx(plan):
+        from . import pallas_legendre_mx as MX
+
+        prepped = jax.block_until_ready(jax.jit(
+            MX.mx_prep, static_argnums=(0, 1, 3))(plan.nl, plan.nm, alm,
+                                                  True))
     buf = jnp.zeros((6, plan.npix), plan.dtype)
     for b in range(nblk):
         j0, j1 = b * Jblk, (b + 1) * Jblk
-        n_seg, s_seg = _synth_block_segments(plan, J, nrings, (j0, j1), alm)
+        n_seg, s_seg = _synth_block_segments(plan, J, nrings, (j0, j1), alm,
+                                             prepped)
         # block_until_ready serializes the blocks at the host level
         buf = _write_seg(plan, buf, jax.block_until_ready(n_seg),
                          int(sp_ext[j0]))
