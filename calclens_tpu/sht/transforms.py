@@ -694,13 +694,12 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     assert J % nblk == 0, (J, nblk)
     Jblk = J // nblk
     sp_ext = np.append(plan.startpix[: plan.nrings], plan.npix)
+    # NOTE: hoisting the MX stream prep out of the blocks (mx_prep) was
+    # measured to OOM at NSIDE 4096: the four [nm_pad, nl_pad] f32 streams
+    # (2.3 GB) held across all blocks push the peak past HBM; per-block
+    # prep re-pays ~2.3 GB of pad/transpose traffic per block but keeps
+    # the peak bounded.
     prepped = None
-    if _use_pallas_mx(plan):
-        from . import pallas_legendre_mx as MX
-
-        prepped = jax.block_until_ready(jax.jit(
-            MX.mx_prep, static_argnums=(0, 1, 3))(plan.nl, plan.nm, alm,
-                                                  True))
     buf = jnp.zeros((6, plan.npix), plan.dtype)
     for b in range(nblk):
         j0, j1 = b * Jblk, (b + 1) * Jblk
