@@ -311,3 +311,4 @@ def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128,
     qN = jnp.stack([qphiN, qthN, qththN])
     qS = jnp.stack([qphiS, qthS, qththS])
     return qN, qS
+

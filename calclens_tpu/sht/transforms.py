@@ -330,6 +330,10 @@ def map2alm(plan: SHTPlan, m):
     G = analysis_rings(plan, m)
     E, O = fold_pairs(plan, G)
     if _use_pallas(plan):
+        # analysis stays on the VPU kernel: an MXU restructure (lambda tile
+        # + [4, TJ] x [TJ, LB] dots) measured NO faster on v5e (11.6 vs
+        # 10.7 s at NSIDE 4096) — the N=4 contraction wastes the MXU and
+        # the per-m-tile grid overhead eats the triangular skip
         from . import pallas_legendre as PL
 
         return PL.analysis_pallas(plan, E, O)

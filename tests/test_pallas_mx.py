@@ -41,3 +41,4 @@ def test_mx_synthesis_phi_matches_scan():
     sc = np.max(np.abs(np.asarray(qN_ref[0])))
     assert np.max(np.abs(np.asarray(qN_p[0]) - np.asarray(qN_ref[0]))) < 1e-5 * sc
     assert np.max(np.abs(np.asarray(qS_p[0]) - np.asarray(qS_ref[0]))) < 1e-5 * sc
+
