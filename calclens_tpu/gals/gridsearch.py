@@ -136,8 +136,13 @@ def _search_chunk(packed, verts, vmask, gvec, grad, tvec, pvec, vert_cvec,
     b1 = (ax * qy - qx * ay) / safe
     b2 = 1.0 - b0 - b1
     bcs = jnp.stack([b0, b1, b2], axis=-1)
-    hit = (jnp.abs(den) > 0) & jnp.all(bcs >= 0.0, axis=-1) \
-        & jnp.all(bcs <= 1.0, axis=-1) & vmask
+    # small tolerance: in f32 on TPU (excess-precision fast math) a source
+    # sitting on a shared edge can round OUTSIDE both adjacent triangles
+    # and lose its image (~3.5%% of sources measured); edge double-hits are
+    # removed by the position dedup downstream
+    eps = 1e-5
+    hit = (jnp.abs(den) > 0) & jnp.all(bcs >= -eps, axis=-1) \
+        & jnp.all(bcs <= 1.0 + eps, axis=-1) & vmask
 
     # image position: barycentric-weighted STARTING positions (gnomonic
     # weights bcs * cosang, gridsearch.c:753-770)

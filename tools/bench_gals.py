@@ -46,6 +46,13 @@ def main():
     # rays at the start of plane 3's bin (no deflection needed for timing)
     plane = 3
     pp = plane_params(cfg, rt.cosmo, plane)
+    # move the ray shell to the plane radius: the search's chord solve
+    # assumes |n| = wpm1 (rays are initialized at binL/2)
+    import jax.numpy as _jnp
+
+    binL = cfg.maxComvDistance / cfg.NumLensPlanes
+    scale = _jnp.float32(pp.rad / (binL / 2.0))
+    rt.rays_packed = rt.rays_packed.at[0:3].multiply(scale)
 
     rng = np.random.default_rng(5)
     v = rng.normal(size=(ngals, 3))
