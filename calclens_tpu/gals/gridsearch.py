@@ -232,16 +232,31 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
         iyh = np.asarray(iy)[gi, ti]
         # dedup: a source sitting on a shared triangle edge/vertex registers
         # in several triangles with near-identical image positions; sort by
-        # (gal, ix, iy) so duplicates are consecutive and drop rows within
-        # tol of their predecessor (vectorized; was an O(hits^2) loop)
+        # (gal, ix, iy) so duplicates land in consecutive runs, then greedily
+        # keep the first row of each run and drop rows within tol of the LAST
+        # KEPT row (adjacent-only comparison can break the chain when a third
+        # image sits between two true duplicates in sort order)
         tol = 1e-3 * np.sqrt(4.0 * np.pi / len(tables.ring_of_nest))
         order = np.lexsort((iyh, ixh, gi))
-        dup = np.zeros(len(gi), bool)
-        dup[1:] = ((np.diff(gi[order]) == 0)
-                   & (np.abs(np.diff(ixh[order])) < tol)
-                   & (np.abs(np.diff(iyh[order])) < tol))
+        gs, xs, ys = gi[order], ixh[order], iyh[order]
+        near_prev = np.zeros(len(gs), bool)
+        near_prev[1:] = ((np.diff(gs) == 0)
+                         & (np.abs(np.diff(xs)) < tol)
+                         & (np.abs(np.diff(ys)) < tol))
+        keep_sorted = ~near_prev
+        # exact sequential pass inside each run of near-adjacent rows (runs
+        # are tiny — only rows flagged near their predecessor are revisited)
+        (run_rows,) = np.nonzero(near_prev)
+        last_x, last_y, run_start = 0.0, 0.0, -2
+        for r in run_rows:
+            if r - 1 != run_start:
+                last_x, last_y = xs[r - 1], ys[r - 1]
+            if abs(xs[r] - last_x) >= tol or abs(ys[r] - last_y) >= tol:
+                keep_sorted[r] = True
+                last_x, last_y = xs[r], ys[r]
+            run_start = r
         keep = np.ones(len(gi), bool)
-        keep[order] = ~dup
+        keep[order] = keep_sorted
         gi, ti, ixh, iyh = gi[keep], ti[keep], ixh[keep], iyh[keep]
         tv, pv = _tvec(gvec), _pvec(gvec)
         ivec = gvec[gi] + ixh[:, None] * tv[gi] + iyh[:, None] * pv[gi]

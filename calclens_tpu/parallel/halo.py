@@ -80,6 +80,18 @@ def required_halo(ray_order: int, map_order: int, n_shards: int,
     drift_rings = int(np.ceil(drift_rad / (np.pi / (4 * rt_map.nside)))) + 2
     H = int(dev) + 4 + drift_rings * 4 * rt_map.nside
     blk = rt_map.npix // n_shards
+    if H > blk:
+        # the drift margin no longer fits one neighbor block: taps beyond the
+        # window would be silently clamped (soa.interp_and_prop_chunk); warn
+        # so the caller can widen shards or check deflections
+        import warnings
+
+        warnings.warn(
+            f"required_halo truncated: need {H} map pixels but the shard "
+            f"block is only {blk}; rays deflected beyond one block will "
+            f"read clamped (wrong) pixels. Use fewer shards or set "
+            f"CALCLENS_DEBUG_HALO=1 to NaN-poison out-of-window taps.",
+            stacklevel=2)
     return min(H, blk)  # window never exceeds 3 blocks
 
 

@@ -19,6 +19,14 @@ import jax.numpy as jnp
 
 from ..healpix import jaxhp
 
+
+def _debug_halo():
+    """CALCLENS_DEBUG_HALO=1: NaN-poison sharded-interp taps outside the
+    halo window (read at trace time; see parallel.halo.required_halo)."""
+    import os
+
+    return os.environ.get("CALCLENS_DEBUG_HALO", "0") == "1"
+
 NROWS = 21
 ROWS = dict(n=(0, 3), beta=(3, 6), A=(6, 10), Aprev=(10, 14),
             alpha=(14, 16), U=(16, 20), phi=(20, 21))
@@ -164,7 +172,14 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool,
         cx, cy, cz = cvec[..., 0], cvec[..., 1], cvec[..., 2]
         c_, s_ = _transport_psi(cx, cy, cz, hx, hy, hz)
         if pix_base is not None:
-            pk = jnp.clip(pk - pix_base, 0, maps6.shape[1] - 1)
+            pkw = pk - pix_base
+            pk = jnp.clip(pkw, 0, maps6.shape[1] - 1)
+            if _debug_halo():
+                # poison out-of-window taps so a truncated halo (see
+                # parallel.halo.required_halo) fails loudly instead of
+                # interpolating from clamped (wrong) pixels
+                wk = jnp.where((pkw >= 0) & (pkw < maps6.shape[1]),
+                               wk, jnp.nan)
         f = maps6[:, pk]  # one row-gather: [6, c]
         pot = pot + f[0] * wk
         gt, gp = f[1], f[2]

@@ -191,7 +191,13 @@ def _czt_rows_sharded(x, n_host, K, L, sign, plan):
         from jax.experimental.shard_map import shard_map
 
     mesh = plan.spec.mesh
-    blk = min(plan.ring_block, R // ndev)
+    # czt_blocked requires local_rows % blk == 0; round blk down to a divisor
+    # of the per-device row count (both are powers of two today, but a custom
+    # ring_block/mesh combination must not fail at trace time)
+    local_rows = R // ndev
+    blk = min(plan.ring_block, local_rows)
+    while local_rows % blk:
+        blk -= 1
 
     def body(xl, nl):
         return czt_blocked(xl, nl, K=K, L=L, sign=sign,
@@ -521,6 +527,9 @@ def _rows_dft_belt(plan: SHTPlan, Y):
     (gathers run ~110 M elem/s; the folded sources P-k for k in
     (P-nm, P/2) are a reversed contiguous column range)."""
     P, nm = plan.P, Y.shape[-1]
+    # the fold below covers aliases of m in (P/2, P) only; m >= P (possible
+    # only if lmax were raised to >= 4*nside) would be silently dropped
+    assert nm <= P, (nm, P)
     H = P // 2 + 1
     # direct part: k < min(nm, H), with half-weight for 0 < k < P/2
     kd_hi = min(nm, H)
