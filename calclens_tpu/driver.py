@@ -577,15 +577,22 @@ class Raytracer:
         if not hasattr(self, "map_num"):
             self.map_num = 0
         map_planes = self._map_planes()
-        gal_pos = gal_idx = gs_tables = None
+        gal_pos = gal_idx = gs_tables = gs_tab_dev = None
+        full_sky_rays = self._ray_nest is None  # RING-ordered full grid
         if cfg.GalsFileList:
             from .gals import gridsearch as gs
             from .gals import io as galsio
+            from .healpix import jaxhp
 
             gal_pos, gal_idx = galsio.read_source_gals(cfg.GalsFileList)
-            # candidate window >= the reference's galImageSearchRad of 10 ray
-            # pixels (config.c:222-225): half-width ~ 1.5 * 2^expand pixels
-            gs_tables = gs.GridSearchTables(cfg.rayOrder, expand=3)
+            if full_sky_rays:
+                # device-resident search: ray index == RING pixel
+                gs_tab_dev = jaxhp.InterpTables(cfg.rayOrder,
+                                                dtype=self.dtype)
+            else:
+                # candidate window >= the reference's galImageSearchRad of 10
+                # ray pixels (config.c:222-225): half-width ~ 1.5*2^expand px
+                gs_tables = gs.GridSearchTables(cfg.rayOrder, expand=3)
         t_start = start_time if start_time is not None else time.perf_counter()
         t_last_restart = t_start
         binL = cfg.maxComvDistance / cfg.NumLensPlanes
@@ -600,10 +607,19 @@ class Raytracer:
                 if len(ppos):
                     tgs = time.perf_counter()
                     pp = plane_params(cfg, self.cosmo, p)
-                    images = gs.find_images(cfg, gs_tables,
-                                            self.rays_packed, ppos,
-                                            pidx, pp.rad, pp.rad_minus1,
-                                            nest2index=gs_tables.ring_of_nest)
+                    if cfg.BornApprx and gs_tab_dev is not None:
+                        images = gs.find_images_born(
+                            cfg, gs_tab_dev, self.rays_packed, ppos, pidx,
+                            pp.rad, pp.rad_minus1)
+                    elif gs_tab_dev is not None:
+                        images = gs.find_images_device(
+                            cfg, gs_tab_dev, self.rays_packed, ppos, pidx,
+                            pp.rad, pp.rad_minus1)
+                    else:
+                        images = gs.find_images(
+                            cfg, gs_tables, self.rays_packed, ppos,
+                            pidx, pp.rad, pp.rad_minus1,
+                            nest2index=gs_tables.ring_of_nest)
                     if cfg.GalOutputName:
                         galsio.write_image_gals(cfg, images, p)
                     if cfg.Profile:

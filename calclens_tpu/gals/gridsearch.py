@@ -231,33 +231,9 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
         ixh = np.asarray(ix)[gi, ti]
         iyh = np.asarray(iy)[gi, ti]
         # dedup: a source sitting on a shared triangle edge/vertex registers
-        # in several triangles with near-identical image positions; sort by
-        # (gal, ix, iy) so duplicates land in consecutive runs, then greedily
-        # keep the first row of each run and drop rows within tol of the LAST
-        # KEPT row (adjacent-only comparison can break the chain when a third
-        # image sits between two true duplicates in sort order)
+        # in several triangles with near-identical image positions
         tol = 1e-3 * np.sqrt(4.0 * np.pi / len(tables.ring_of_nest))
-        order = np.lexsort((iyh, ixh, gi))
-        gs, xs, ys = gi[order], ixh[order], iyh[order]
-        near_prev = np.zeros(len(gs), bool)
-        near_prev[1:] = ((np.diff(gs) == 0)
-                         & (np.abs(np.diff(xs)) < tol)
-                         & (np.abs(np.diff(ys)) < tol))
-        keep_sorted = ~near_prev
-        # exact sequential pass inside each run of near-adjacent rows (runs
-        # are tiny — only rows flagged near their predecessor are revisited)
-        (run_rows,) = np.nonzero(near_prev)
-        last_x, last_y, run_start = 0.0, 0.0, -2
-        for r in run_rows:
-            if r - 1 != run_start:
-                last_x, last_y = xs[r - 1], ys[r - 1]
-            if abs(xs[r] - last_x) >= tol or abs(ys[r] - last_y) >= tol:
-                keep_sorted[r] = True
-                last_x, last_y = xs[r], ys[r]
-            run_start = r
-        keep = np.ones(len(gi), bool)
-        keep[order] = keep_sorted
-        gi, ti, ixh, iyh = gi[keep], ti[keep], ixh[keep], iyh[keep]
+        gi, ixh, iyh = _dedup_hits(gi, ixh, iyh, tol)
         tv, pv = _tvec(gvec), _pvec(gvec)
         ivec = gvec[gi] + ixh[:, None] * tv[gi] + iyh[:, None] * pv[gi]
 
@@ -291,6 +267,235 @@ def find_images(cfg, tables: GridSearchTables, rays, gal_pos, gal_index,
                          np.zeros((0, 2, 2)))
     return ImageGals(np.concatenate(out_idx), np.concatenate(out_ra),
                      np.concatenate(out_dec), np.concatenate(out_A))
+
+
+# ----------------------------------------------------------------------------
+# device-resident search (full-sky RING-ordered ray grid)
+# ----------------------------------------------------------------------------
+
+def search_windows(ray_order: int):
+    """(nring_w, nphi_w, topk) from the reference's search radius
+    galImageSearchRad = max(10 * pixscale, 2.5 arcmin) (config.c:222-226)."""
+    nside = 1 << ray_order
+    pixscale = np.sqrt(4.0 * np.pi / hp.order2npix(ray_order))
+    rad = max(10.0 * pixscale, 2.5 / 60.0 / 180.0 * np.pi)
+    nring_w = int(np.ceil(rad / (np.pi / (4.0 * nside)))) + 2
+    nphi_w = int(np.ceil(rad / (2.0 * np.pi / (4.0 * nside)))) + 2
+    return nring_w, nphi_w
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _search_chunk_device(tab, packed, topk, gvec, grad, tvec, pvec,
+                         wpm1, wpm2):
+    """Fully device candidate prep + barycentric test for one gal chunk.
+
+    Candidates come from a ring/phi index window around each galaxy
+    (jaxhp.ring_window — pure ring-table arithmetic, no O(npix) tables),
+    prefiltered to the topk pixels whose CENTERS are nearest the galaxy
+    (zero gathers: ray i of the full-sky grid sits within its accumulated
+    deflection of pixel center i).  Only the survivors' (n, beta) rows are
+    gathered for the exact deformed-triangle test — the gather volume per
+    galaxy drops from window*4 triangles to topk*4.
+
+    Returns (hit [G, T], ix, iy, verts [G, T, 3]) with T = 4 * topk.
+    """
+    from ..healpix import jaxhp
+
+    dtype = packed.dtype
+    theta, phi = jaxhp.vec2ang(gvec)
+    nring_w, nphi_w = search_windows(tab.order)
+    pixw, valid = jaxhp.ring_window(tab, theta, phi, nring_w, nphi_w)
+    G = gvec.shape[0]
+    pixf = pixw.reshape(G, -1)
+    vf = valid.reshape(G, -1)
+
+    # nearest-pixel-center prefilter (pure math, no ray gathers)
+    cvec = jaxhp.pix2vec_ring(pixf, tab.order, dtype=dtype)
+    score = jnp.sum(cvec * gvec[:, None, :], axis=-1)
+    score = jnp.where(vf, score, -2.0)
+    _, sel = jax.lax.top_k(score, topk)               # [G, K]
+    cand = jnp.take_along_axis(pixf, sel, axis=1)
+
+    tri = jaxhp.triangles_ring(tab, cand)             # [G, K, 4, 3]
+    tri = tri.reshape(G, -1, 3)                       # [G, T, 3]
+    vmask = tri[:, :, 0] >= 0
+    verts = jnp.where(tri >= 0, tri, 0)
+
+    # exact test on the deformed grid: propagate candidate vertices to the
+    # galaxy radius (positions only — A gathers happen per HIT later)
+    n = _gather_vec(packed, 0, verts)
+    beta = _gather_vec(packed, 3, verts)
+    wp = grad[:, None, None]
+    qb = 2.0 * jnp.sum(n * beta, axis=-1)
+    qc = wpm1 * wpm1 - wp * wp
+    disc = jnp.sqrt(jnp.maximum(qb * qb - 4.0 * qc, 0.0))
+    q = -0.5 * (qb + jnp.sign(qb) * disc)
+    lam1 = qc / jnp.where(q != 0.0, q, 1.0)
+    lam = jnp.where(jnp.abs(lam1) > jnp.abs(q), q, lam1)
+    npos = n + beta * lam[..., None]
+
+    cosang = jnp.sum(npos * gvec[:, None, None, :], axis=-1) / wp
+    x = jnp.sum(npos * tvec[:, None, None, :], axis=-1) / wp / cosang
+    y = jnp.sum(npos * pvec[:, None, None, :], axis=-1) / wp / cosang
+
+    ax, ay = x[..., 0] - x[..., 2], y[..., 0] - y[..., 2]
+    bx, by = x[..., 1] - x[..., 2], y[..., 1] - y[..., 2]
+    qx, qy = -x[..., 2], -y[..., 2]
+    den = ax * by - bx * ay
+    safe = jnp.where(jnp.abs(den) > 0, den, 1.0)
+    b0 = (qx * by - bx * qy) / safe
+    b1 = (ax * qy - qx * ay) / safe
+    b2 = 1.0 - b0 - b1
+    bcs = jnp.stack([b0, b1, b2], axis=-1)
+    eps = 1e-5
+    hit = (jnp.abs(den) > 0) & jnp.all(bcs >= -eps, axis=-1) \
+        & jnp.all(bcs <= 1.0 + eps, axis=-1) & vmask
+
+    vert_cvec = jaxhp.pix2vec_ring(verts, tab.order, dtype=dtype)
+    w = bcs * cosang
+    sx = jnp.sum(vert_cvec * tvec[:, None, None, :], axis=-1)
+    sy = jnp.sum(vert_cvec * pvec[:, None, None, :], axis=-1)
+    ix = jnp.sum(sx * w, axis=-1)
+    iy = jnp.sum(sy * w, axis=-1)
+    return hit, ix, iy
+
+
+def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
+                       chunk=16384, topk=16):
+    """Device-resident find_images for full-sky RING-ordered rays (ray index
+    == RING pixel, the driver's full-sky storage).  Candidate prep runs on
+    device (the host ang2pix/neighbors/pix2vec per chunk was the 418 gals/s
+    bound); only found hits round-trip to the host.
+    """
+    from ..healpix import jaxhp
+
+    packed = jnp.asarray(packed)
+    dtype = packed.dtype
+    G = len(gal_pos)
+    if G == 0:
+        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                         np.zeros((0, 2, 2)))
+    gal_pos = np.asarray(gal_pos, np.float64)
+    grad_all = np.linalg.norm(gal_pos, axis=1)
+    gvec_all = gal_pos / grad_all[:, None]
+    wpm1j = jnp.asarray(wpm1, dtype)
+    wpm2j = jnp.asarray(wpm2, dtype)
+    tol = 1e-3 * np.sqrt(4.0 * np.pi / tab.npix)
+
+    out_idx, out_ra, out_dec, out_A = [], [], [], []
+    for i0 in range(0, G, chunk):
+        gvec = gvec_all[i0: i0 + chunk]
+        grad = grad_all[i0: i0 + chunk]
+        gidx = np.asarray(gal_index)[i0: i0 + chunk]
+        Gc = len(gvec)
+        if Gc < chunk:  # pad to the compiled chunk shape
+            pad = chunk - Gc
+            gvec = np.concatenate([gvec, np.tile([[1.0, 0, 0]], (pad, 1))])
+            grad = np.concatenate([grad, np.full(pad, wpm1)])
+        hit, ix, iy = _search_chunk_device(
+            tab, packed, topk, jnp.asarray(gvec, dtype),
+            jnp.asarray(grad, dtype), jnp.asarray(_tvec(gvec), dtype),
+            jnp.asarray(_pvec(gvec), dtype), wpm1j, wpm2j)
+        hit = np.array(hit)
+        hit[Gc:] = False
+        gi, ti = np.nonzero(hit)
+        if len(gi) == 0:
+            continue
+        ixh = np.asarray(ix)[gi, ti]
+        iyh = np.asarray(iy)[gi, ti]
+        gi2, ixh, iyh = _dedup_hits(gi, ixh, iyh, tol)
+        tv, pv = _tvec(gvec), _pvec(gvec)
+        ivec = gvec[gi2] + ixh[:, None] * tv[gi2] + iyh[:, None] * pv[gi2]
+
+        theta, phi = hp.vec2ang(ivec)
+        pix4, wgt4 = hp.get_interpol(theta, phi, cfg.rayOrder)
+        pix4_ring = pix4  # rays stored in RING order: index == pixel
+        cvec4 = hp.pix2vec_ring(pix4_ring.reshape(-1), cfg.rayOrder
+                                ).reshape(-1, 4, 3)
+        Aimg = _interp_A_at(
+            jnp.asarray(ivec, dtype), jnp.asarray(grad[gi2], dtype),
+            wpm1j, wpm2j, jnp.asarray(pix4_ring),
+            jnp.asarray(wgt4, dtype), jnp.asarray(cvec4, dtype), packed)
+        Aimg = np.asarray(Aimg, np.float64)
+        Ard = np.empty_like(Aimg)
+        Ard[:, 0, 0] = Aimg[:, 1, 1]
+        Ard[:, 0, 1] = -Aimg[:, 1, 0]
+        Ard[:, 1, 0] = -Aimg[:, 0, 1]
+        Ard[:, 1, 1] = Aimg[:, 0, 0]
+        ra, dec = hp.vec2radec(ivec)
+        out_idx.append(gidx[gi2])
+        out_ra.append(ra)
+        out_dec.append(dec)
+        out_A.append(Ard)
+
+    if not out_idx:
+        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                         np.zeros((0, 2, 2)))
+    return ImageGals(np.concatenate(out_idx), np.concatenate(out_ra),
+                     np.concatenate(out_dec), np.concatenate(out_A))
+
+
+def find_images_born(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
+                     chunk=1 << 20):
+    """BORNAPPRX grid search (gridsearch.c:316-414): no triangle search —
+    interpolate A directly at each galaxy's undeflected position."""
+    packed = jnp.asarray(packed)
+    dtype = packed.dtype
+    G = len(gal_pos)
+    if G == 0:
+        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                         np.zeros((0, 2, 2)))
+    gal_pos = np.asarray(gal_pos, np.float64)
+    grad_all = np.linalg.norm(gal_pos, axis=1)
+    gvec_all = gal_pos / grad_all[:, None]
+    wpm1j = jnp.asarray(wpm1, dtype)
+    wpm2j = jnp.asarray(wpm2, dtype)
+
+    out = []
+    for i0 in range(0, G, chunk):
+        gvec = gvec_all[i0: i0 + chunk]
+        grad = grad_all[i0: i0 + chunk]
+        theta, phi = hp.vec2ang(gvec)
+        pix4, wgt4 = hp.get_interpol(theta, phi, cfg.rayOrder)
+        cvec4 = hp.pix2vec_ring(pix4.reshape(-1), cfg.rayOrder
+                                ).reshape(-1, 4, 3)
+        Aimg = _interp_A_at(
+            jnp.asarray(gvec, dtype), jnp.asarray(grad, dtype),
+            wpm1j, wpm2j, jnp.asarray(pix4),
+            jnp.asarray(wgt4, dtype), jnp.asarray(cvec4, dtype), packed)
+        out.append(np.asarray(Aimg, np.float64))
+    Aimg = np.concatenate(out)
+    Ard = np.empty_like(Aimg)
+    Ard[:, 0, 0] = Aimg[:, 1, 1]
+    Ard[:, 0, 1] = -Aimg[:, 1, 0]
+    Ard[:, 1, 0] = -Aimg[:, 0, 1]
+    Ard[:, 1, 1] = Aimg[:, 0, 0]
+    ra, dec = hp.vec2radec(gvec_all)
+    return ImageGals(np.asarray(gal_index, np.int64).copy(), ra, dec, Ard)
+
+
+def _dedup_hits(gi, ixh, iyh, tol):
+    """Greedy near-duplicate removal (shared-edge double hits); compares
+    against the last KEPT row within each sorted run."""
+    order = np.lexsort((iyh, ixh, gi))
+    gs, xs, ys = gi[order], ixh[order], iyh[order]
+    near_prev = np.zeros(len(gs), bool)
+    near_prev[1:] = ((np.diff(gs) == 0)
+                     & (np.abs(np.diff(xs)) < tol)
+                     & (np.abs(np.diff(ys)) < tol))
+    keep_sorted = ~near_prev
+    (run_rows,) = np.nonzero(near_prev)
+    last_x, last_y, run_start = 0.0, 0.0, -2
+    for r in run_rows:
+        if r - 1 != run_start:
+            last_x, last_y = xs[r - 1], ys[r - 1]
+        if abs(xs[r] - last_x) >= tol or abs(ys[r] - last_y) >= tol:
+            keep_sorted[r] = True
+            last_x, last_y = xs[r], ys[r]
+        run_start = r
+    keep = np.ones(len(gi), bool)
+    keep[order] = keep_sorted
+    return gi[keep], ixh[keep], iyh[keep]
 
 
 def _pvec(gvec):

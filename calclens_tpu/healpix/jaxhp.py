@@ -199,6 +199,157 @@ def get_interpol_soa(tab: InterpTables, theta, phi):
     return (p0, p1, p2, p3), (w0, w1_, w2_, w3_)
 
 
+def triangles_ring(tab: InterpTables, pix):
+    """Device triangulation: RING pixels [...] -> triangle vertex RING
+    indices [..., 4, 3] int32, -1-padded (port of the reference's per-pixel
+    ring2triangle, healpix_utils.c:1273-1423 / healpix.core.build_triangles;
+    equivalence-tested against the host table).
+    """
+    nside = tab.nside
+    npix = tab.npix
+    nrings = 4 * nside - 1
+    startpix_t = jnp.asarray(tab.startpix)
+    ringpix_t = jnp.asarray(tab.ringpix)
+    # shifted table stores 0.5 * shifted flag (see InterpTables); recover int
+    sh_t = (jnp.asarray(tab.shifted) * 2.0).astype(jnp.int32)
+
+    pix = pix.astype(jnp.int32)
+    ringnum = jnp.searchsorted(startpix_t, pix, side="right").astype(jnp.int32)
+    row = ringnum - 1
+    sp = startpix_t[row]
+    Np = ringpix_t[row]
+    sh = sh_t[row]
+    ip = pix - sp
+    ringA = ringnum - 1
+    rowA = jnp.clip(ringA, 1, nrings) - 1
+    spA = startpix_t[rowA]
+    NpA = ringpix_t[rowA]
+
+    right = (ip + 1) % Np + sp
+    shape = pix.shape
+
+    neg = jnp.full(shape, -1, jnp.int32)
+
+    # north polar cap rings 2..nside
+    rn = jnp.maximum(ringnum, 1)
+    ib = ip % rn
+    bnum = ip // rn
+    interior = ib < ringnum - 1
+    X_int = (ib + bnum * ringA) % NpA + spA
+    X_cor = (ib + bnum * ringA - 1) % NpA + spA
+    Xn = jnp.where(interior, X_int, X_cor)
+    X2n = (X_int - spA - 1) % NpA + spA
+
+    # equatorial rings nside+1 .. 3*nside
+    ibe = ip % nside
+    bne = ip // nside
+    above_nr = jnp.where(ringA > nside, nside, ringA)
+    Xe = (sh + ibe + bne * above_nr) % NpA + spA
+    Xe2 = (Xe - spA - 1) % NpA + spA
+
+    # south polar cap rings 3*nside+1 .. 4*nside-1
+    nring = jnp.maximum(4 * nside - ringnum, 1)
+    nringA = jnp.maximum(4 * nside - ringA, 1)
+    ibs = ip % nring
+    bns = ip // nring
+    Xs = (sh + ibs + bns * nringA) % NpA + spA
+    Xs2 = (Xs - spA - 1) % NpA + spA
+    Xs3 = (Xs2 - spA - 1) % NpA + spA
+
+    m_n = (ringnum >= 2) & (ringnum <= nside)
+    m_e = (ringnum > nside) & (ringnum <= 3 * nside)
+    m_s = ringnum > 3 * nside
+
+    # slot 0: (pix, right, X)
+    t0b = right
+    t0c = jnp.where(m_n, Xn, jnp.where(m_e, Xe, Xs))
+    # slot 1: (pix, X, X2)
+    s1_ok = (m_n & interior) | m_e | m_s
+    t1b = jnp.where(m_n, X_int, jnp.where(m_e, Xe, Xs))
+    t1c = jnp.where(m_n, X2n, jnp.where(m_e, Xe2, Xs2))
+    # slot 2: south corner closer
+    s2_ok = m_s & (ibs == 0)
+    t2b, t2c = Xs2, Xs3
+
+    def tri_row(ok, b, c):
+        a = jnp.where(ok, pix, neg)
+        return jnp.stack([a, jnp.where(ok, b, neg), jnp.where(ok, c, neg)],
+                         axis=-1)
+
+    tri = jnp.stack([
+        tri_row(m_n | m_e | m_s, t0b, t0c),
+        tri_row(s1_ok, t1b, t1c),
+        tri_row(s2_ok, t2b, t2c),
+        jnp.broadcast_to(neg[..., None], shape + (3,)),
+    ], axis=-2)  # [..., 4, 3]
+
+    # ring-1 cap closers (pixels 0..3): exactly two triangles total
+    is_r1 = ringnum == 1
+    r1a = jnp.where(pix == 0, 0, jnp.where(pix == 2, 2, -1))
+    r1b = jnp.where(pix == 0, 2, jnp.where(pix == 2, 0, -1))
+    r1c = jnp.where(pix == 0, 3, jnp.where(pix == 2, 1, -1))
+    r1row = jnp.stack([r1a, r1b, r1c], axis=-1)
+    tri = jnp.where(is_r1[..., None, None],
+                    jnp.concatenate([r1row[..., None, :],
+                                     jnp.broadcast_to(neg[..., None, None],
+                                                      shape + (3, 3))],
+                                    axis=-2),
+                    tri)
+
+    # south pole closers appended at slot 3 of the last ring's two pixels
+    last1 = pix == npix - 1
+    last3 = pix == npix - 3
+    close = jnp.stack([
+        jnp.where(last1, npix - 1, jnp.where(last3, npix - 3, -1)),
+        jnp.where(last1, npix - 3, jnp.where(last3, npix - 2, -1)),
+        jnp.where(last1, npix - 4, jnp.where(last3, npix - 1, -1)),
+    ], axis=-1)
+    tri = tri.at[..., 3, :].set(jnp.where((last1 | last3)[..., None],
+                                          close, tri[..., 3, :]))
+    return tri
+
+
+def ring_window(tab: InterpTables, theta, phi, nring_w: int, nphi_w: int):
+    """Candidate RING pixels in a (2*nring_w) x (2*nphi_w+2) window around
+    (theta, phi): rows are consecutive rings bracketing theta, columns the
+    pixels nearest phi in each ring.  Pure index arithmetic on the O(nrings)
+    ring tables (the device analog of the grid-search candidate prep).
+
+    Returns (pix [..., R, C] int32, valid [..., R, C] bool).
+    """
+    nside = tab.nside
+    nrings = 4 * nside - 1
+    startpix_t = jnp.asarray(tab.startpix)
+    ringpix_t = jnp.asarray(tab.ringpix)
+    shifted_t = jnp.asarray(tab.shifted)
+
+    z = jnp.cos(theta)
+    az = jnp.abs(z)
+    ir_cap = (nside * jnp.sqrt(jnp.maximum(3.0 * (1.0 - az), 0.0))
+              ).astype(jnp.int32)
+    ir_eq = (nside * (2.0 - 1.5 * z)).astype(jnp.int32)
+    ring_above = jnp.where(az <= 2.0 / 3.0, ir_eq,
+                           jnp.where(z > 0, ir_cap, 4 * nside - ir_cap - 1))
+
+    drs = jnp.arange(-nring_w + 1, nring_w + 1, dtype=jnp.int32)
+    ir = ring_above[..., None] + drs  # [..., R] 1-based
+    rvalid = (ir >= 1) & (ir <= nrings)
+    row = jnp.clip(ir, 1, nrings) - 1
+    sp = startpix_t[row]
+    nr = ringpix_t[row]
+    shift = shifted_t[row]
+    dphi = 2.0 * jnp.pi / nr.astype(theta.dtype)
+    i0 = jnp.floor(phi[..., None] / dphi - shift).astype(jnp.int32) - nphi_w
+
+    cols = jnp.arange(2 * nphi_w + 2, dtype=jnp.int32)
+    ic = i0[..., None] + cols  # [..., R, C]
+    ic = jnp.mod(ic, nr[..., None])
+    pixw = sp[..., None] + ic
+    # mark duplicate columns when the window wraps a tiny polar ring
+    cvalid = cols < nr[..., None]
+    return pixw, rvalid[..., None] & cvalid
+
+
 def get_interpol(tab: InterpTables, theta, phi):
     """Device 4-pixel bilinear weights (healpix_utils get_interpol parity).
 

@@ -228,3 +228,110 @@ def test_strong_lensing_two_images(tmp_path):
     for w in want:
         d = np.min(np.abs(theta_img - w))
         assert d < 0.25 * abs(w), (theta_img, want)
+
+
+def test_device_triangles_match_host():
+    from calclens_tpu.healpix import jaxhp
+    import jax
+
+    for order in (2, 3, 5):
+        tab = jaxhp.InterpTables(order)
+        npix = int(hp.order2npix(order))
+        host = hp.build_triangles(order)
+        dev = np.asarray(jax.jit(
+            lambda p, t=tab: jaxhp.triangles_ring(t, p))(
+            jnp.arange(npix, dtype=jnp.int32)))
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_device_search_undeflected_identity():
+    from calclens_tpu.healpix import jaxhp
+    from calclens_tpu.rays import soa
+
+    order = 5
+    cfg = RayTraceConfig(OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+                         rayOrder=order, bundleOrder=2, SHTOrder=5,
+                         Precision="f64").finalize()
+    npix = int(hp.order2npix(order))
+    ring = np.arange(npix, dtype=np.int64)
+    vec = hp.pix2vec_ring(ring, order)
+    wpm1, wpm2 = 625.0, 375.0
+    rays = init_rays(jnp.asarray(vec), wpm1, dtype=jnp.float64)
+    packed = soa.pack(rays)
+
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(200, 3))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    grad = rng.uniform(600.0, 740.0, size=200)
+    tab = jaxhp.InterpTables(order, dtype=jnp.float64)
+    images = gs.find_images_device(cfg, tab, packed, g * grad[:, None],
+                                   np.arange(200), wpm1, wpm2, chunk=256)
+    assert len(images.index) == 200
+    assert len(np.unique(images.index)) == 200
+    order_idx = np.argsort(images.index)
+    A = images.A[order_idx]
+    np.testing.assert_allclose(A[:, 0, 0], 1.0, atol=1e-10)
+    np.testing.assert_allclose(A[:, 0, 1], 0.0, atol=1e-10)
+
+
+def test_device_search_matches_host_pointmass(pm_trace):
+    """Device-resident candidate prep finds the same images (positions and
+    magnifications) as the host path on a strongly-sheared ray grid."""
+    from calclens_tpu.healpix import jaxhp
+
+    cfg, rt, mass_vec, mass_plane = pm_trace
+    target_plane = mass_plane + 1
+    binL = cfg.maxComvDistance / cfg.NumLensPlanes
+    w_src = target_plane * binL + binL / 2.0
+
+    rng = np.random.default_rng(7)
+    nsrc = 120
+    g = rng.normal(size=(nsrc, 3))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    gal_pos = g * w_src
+
+    pp = plane_params(cfg, rt.cosmo, target_plane)
+    tables = gs.GridSearchTables(cfg.rayOrder)
+    host = gs.find_images(cfg, tables, rt.rays_packed, gal_pos,
+                          np.arange(nsrc), pp.rad, pp.rad_minus1,
+                          nest2index=tables.ring_of_nest)
+    tab = jaxhp.InterpTables(cfg.rayOrder, dtype=jnp.float64)
+    dev = gs.find_images_device(cfg, tab, rt.rays_packed, gal_pos,
+                                np.arange(nsrc), pp.rad, pp.rad_minus1,
+                                chunk=256)
+    assert len(dev.index) == len(host.index)
+    oh = np.lexsort((host.ra, host.index))
+    od = np.lexsort((dev.ra, dev.index))
+    np.testing.assert_array_equal(dev.index[od], host.index[oh])
+    np.testing.assert_allclose(dev.ra[od], host.ra[oh], atol=1e-8)
+    np.testing.assert_allclose(dev.dec[od], host.dec[oh], atol=1e-8)
+    np.testing.assert_allclose(dev.A[od], host.A[oh], atol=1e-10)
+
+
+def test_born_search_identity_grid():
+    from calclens_tpu.healpix import jaxhp
+    from calclens_tpu.rays import soa
+
+    order = 5
+    cfg = RayTraceConfig(OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+                         rayOrder=order, bundleOrder=2, SHTOrder=5,
+                         Precision="f64").finalize()
+    npix = int(hp.order2npix(order))
+    vec = hp.pix2vec_ring(np.arange(npix, dtype=np.int64), order)
+    wpm1, wpm2 = 625.0, 375.0
+    rays = init_rays(jnp.asarray(vec), wpm1, dtype=jnp.float64)
+    packed = soa.pack(rays)
+
+    rng = np.random.default_rng(8)
+    g = rng.normal(size=(100, 3))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    grad = rng.uniform(600.0, 740.0, size=100)
+    tab = jaxhp.InterpTables(order, dtype=jnp.float64)
+    images = gs.find_images_born(cfg, tab, packed, g * grad[:, None],
+                                 np.arange(100) * 3, wpm1, wpm2)
+    assert len(images.index) == 100
+    np.testing.assert_array_equal(images.index, np.arange(100) * 3)
+    ra, dec = hp.vec2radec(g)
+    np.testing.assert_allclose(images.ra, ra, atol=1e-12)
+    np.testing.assert_allclose(images.A[:, 0, 0], 1.0, atol=1e-10)
+    np.testing.assert_allclose(images.A[:, 1, 0], 0.0, atol=1e-10)

@@ -62,22 +62,37 @@ def main():
     gal_pos = v * rad[:, None]
     gal_idx = np.arange(ngals)
 
-    tables = gs.GridSearchTables(cfg.rayOrder)
+    from calclens_tpu.healpix import jaxhp
 
-    # warmup (compiles the two search kernels)
+    mode = os.environ.get("BENCH_GALS_MODE", "device")
+    chunk = int(os.environ.get("BENCH_GALS_CHUNK", 16384))
+    topk = int(os.environ.get("BENCH_GALS_TOPK", 16))
+    if mode == "host":
+        tables = gs.GridSearchTables(cfg.rayOrder)
+
+        def run(pos, idx):
+            return gs.find_images(cfg, tables, rt.rays_packed, pos, idx,
+                                  pp.rad, pp.rad_minus1, chunk=4096,
+                                  nest2index=tables.ring_of_nest)
+    else:
+        tab = jaxhp.InterpTables(cfg.rayOrder)
+
+        def run(pos, idx):
+            return gs.find_images_device(cfg, tab, rt.rays_packed, pos, idx,
+                                         pp.rad, pp.rad_minus1, chunk=chunk,
+                                         topk=topk)
+
+    # warmup (compiles the search kernels)
     t0 = time.perf_counter()
-    images = gs.find_images(cfg, tables, rt.rays_packed, gal_pos[:4096],
-                            gal_idx[:4096], pp.rad, pp.rad_minus1,
-                            chunk=4096, nest2index=tables.ring_of_nest)
+    images = run(gal_pos[:chunk], gal_idx[:chunk])
     warm = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    images = gs.find_images(cfg, tables, rt.rays_packed, gal_pos, gal_idx,
-                            pp.rad, pp.rad_minus1, chunk=4096,
-                            nest2index=tables.ring_of_nest)
+    images = run(gal_pos, gal_idx)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "gals_per_sec_gridsearch",
+        "mode": mode,
         "value": ngals / dt,
         "unit": "gals/s",
         "ngals": ngals,
