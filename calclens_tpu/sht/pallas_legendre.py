@@ -247,11 +247,11 @@ def synthesis_pallas(plan, alm, derivs: bool, TM=128, TJ=512, LB=256):
 # analysis: alm[l, m] = sum_j lam_lm(theta_j) * src[m, j]
 # ---------------------------------------------------------------------------
 
-def _analysis_kernel(nl, LB, TM, TJ,
-                     ere_ref, eim_ref, ore_ref, oim_ref, geo_ref,
+def _analysis_kernel(nl, LB, TM, TJ, RS,
+                     ere_ref, eim_ref, ore_ref, oim_ref, geo_ref, logc_ref,
                      almre_ref, almim_ref,
                      s0re, s0im, s1re, s1im,
-                     pp_ref, pc_ref, k_ref, seed_ref, seedk_ref):
+                     pp_ref, pc_ref, k_ref):
     """Grid (m_tiles, j_tiles, l_blocks); alm output blocks [LB, TM] are
     accumulated across the j grid dimension (init at j == 0).
 
@@ -259,95 +259,138 @@ def _analysis_kernel(nl, LB, TM, TJ,
     else O, i.e. for l even src = (m even ? E : O) =: S0 and for l odd
     src = S1 — both precomputed once per (m, j) program, removing every
     per-l select from the contraction.
+
+    Structure (the lambda fast path):
+      * triangular skip — l-blocks below the tile's smallest m do nothing
+        (the diagonal seed lambda_mm comes directly from log2 space like the
+        MX kernel, so no seed chain has to be advanced through them);
+      * the seed block (lb == lb_act) runs the careful per-step body with
+        seed/inactive masking and per-step rescaling;
+      * later blocks run the fast body: the 3-op recurrence plus a rescale
+        check only every RS steps (within a window p cannot overflow f32:
+        the worst per-step growth factor is a <= sqrt(2*lmax) ~ 2^8, so
+        p <= 2^32 * 2^(8*RS) << 2^128), and the corfac scale is constant
+        across the window so lam = p * corfac stays exact.
     """
     ji = pl.program_id(1)
     lb = pl.program_id(2)
 
     cth = geo_ref[0:1, :]
-    sth = geo_ref[1:2, :]
+    ln_sth = geo_ref[4:5, :]
 
     mi = pl.program_id(0)
+    lb_act = (mi * TM) // LB
     m_vec = (mi * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0))
     mf = m_vec.astype(jnp.float32)
     m_even = (m_vec % 2) == 0
 
-    @pl.when(lb == 0)
+    @pl.when(lb == lb_act)
     def _init():
         s0re[...] = jnp.where(m_even, ere_ref[...], ore_ref[...])
         s0im[...] = jnp.where(m_even, eim_ref[...], oim_ref[...])
         s1re[...] = jnp.where(m_even, ore_ref[...], ere_ref[...])
         s1im[...] = jnp.where(m_even, oim_ref[...], eim_ref[...])
-        pp_ref[...] = jnp.zeros_like(pp_ref)
-        pc_ref[...] = jnp.zeros_like(pc_ref)
-        k_ref[...] = jnp.zeros_like(k_ref)
-        seed_ref[...] = jnp.full_like(seed_ref, 0.28209479177387814)
-        seedk_ref[...] = jnp.zeros_like(seedk_ref)
 
     @pl.when(ji == 0)
     def _zero_out():
         almre_ref[...] = jnp.zeros_like(almre_ref)
         almim_ref[...] = jnp.zeros_like(almim_ref)
 
-    def body(i, _):
-        l_int = lb * LB + i
-        lf = l_int.astype(jnp.float32)
-
-        pp = pp_ref[...]
-        pc = pc_ref[...]
-        k = k_ref[...]
-        seed = seed_ref[...]
-        seedk = seedk_ref[...]
-
-        a, b = _row_coeffs(lf, mf)
-        new = a * (cth * pc - b * pp)
-
-        seed_row = m_vec == l_int
-        inactive = m_vec > l_int
-        new = jnp.where(seed_row, seed, jnp.where(inactive, 0.0, new))
-        prev = jnp.where(seed_row | inactive, 0.0, pc)
-        k_new = jnp.where(seed_row, seedk.astype(jnp.int32), k)
-
-        big = jnp.abs(new) > _TH_BIG
-        new = jnp.where(big, new * _RESC, new)
-        prev = jnp.where(big, prev * _RESC, prev)
-        k_new = k_new + big.astype(jnp.int32)
-
-        corfac = jnp.where(k_new == 0, 1.0,
-                           jnp.where(k_new == -1, _RESC, 0.0))
-        lam = new * corfac
-
-        seed2 = seed * sth * jnp.sqrt((2.0 * lf + 3.0) / (2.0 * lf + 2.0))
-        under = seed2 < _TINY
-        seed_ref[...] = jnp.where(under, seed2 / _RESC, seed2)
-        seedk_ref[...] = seedk - under.astype(jnp.int32)
-
-        pp_ref[...] = prev
-        pc_ref[...] = new
-        k_ref[...] = k_new
-
-        par = jnp.remainder(l_int, 2)
-        src_re = jnp.where(par == 0, s0re[...], s1re[...])
-        src_im = jnp.where(par == 0, s0im[...], s1im[...])
+    def _accum(i, lam, l_even):
+        src_re = s0re[...] if l_even else s1re[...]
+        src_im = s0im[...] if l_even else s1im[...]
         almre_ref[i, :] += jnp.sum(lam * src_re, axis=1)
         almim_ref[i, :] += jnp.sum(lam * src_im, axis=1)
-        return 0
 
-    nl_here = jnp.minimum(nl - lb * LB, LB)
-    jax.lax.fori_loop(0, nl_here, body, 0)
+    @pl.when(lb == lb_act)
+    def _seed_block():
+        # direct diagonal seed (log2 space; see pallas_legendre_mx)
+        log2lam = (logc_ref[:, 0:1] + mf * ln_sth
+                   - 1.2655121234846454) * 1.4426950408889634
+        kf = jnp.floor((log2lam + 32.0) * (1.0 / 64.0))
+        seedval = jnp.exp2(log2lam - 64.0 * kf)
+        seedk = kf.astype(jnp.int32)
+
+        pp_ref[...] = jnp.zeros_like(pp_ref)
+        pc_ref[...] = jnp.zeros_like(pc_ref)
+        k_ref[...] = jnp.zeros_like(k_ref)
+
+        def body(i, _):
+            l_int = lb * LB + i
+            lf = l_int.astype(jnp.float32)
+            pp = pp_ref[...]
+            pc = pc_ref[...]
+            k = k_ref[...]
+
+            a, b = _row_coeffs(lf, mf)
+            new = a * (cth * pc - b * pp)
+
+            seed_row = m_vec == l_int
+            inactive = m_vec > l_int
+            new = jnp.where(seed_row, seedval, jnp.where(inactive, 0.0, new))
+            prev = jnp.where(seed_row | inactive, 0.0, pc)
+            k_new = jnp.where(seed_row, seedk, k)
+
+            big = jnp.abs(new) > _TH_BIG
+            new = jnp.where(big, new * _RESC, new)
+            prev = jnp.where(big, prev * _RESC, prev)
+            k_new = k_new + big.astype(jnp.int32)
+
+            corfac = jnp.where(k_new == 0, 1.0,
+                               jnp.where(k_new == -1, _RESC, 0.0))
+            lam = new * corfac
+            pp_ref[...] = prev
+            pc_ref[...] = new
+            k_ref[...] = k_new
+
+            par_even = jnp.remainder(l_int, 2) == 0
+            src_re = jnp.where(par_even, s0re[...], s1re[...])
+            src_im = jnp.where(par_even, s0im[...], s1im[...])
+            almre_ref[i, :] += jnp.sum(lam * src_re, axis=1)
+            almim_ref[i, :] += jnp.sum(lam * src_im, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, LB, body, 0)
+
+    @pl.when(lb > lb_act)
+    def _fast_blocks():
+        def win(w, _):
+            pp = pp_ref[...]
+            pc = pc_ref[...]
+            k = k_ref[...]
+            corfac = jnp.where(k == 0, 1.0,
+                               jnp.where(k == -1, _RESC, 0.0))
+            base = w * RS
+            for r in range(RS):  # unrolled; l parity == r parity (RS, LB even)
+                l_int = lb * LB + base + r
+                a, b = _row_coeffs(l_int.astype(jnp.float32), mf)
+                new = a * (cth * pc - b * pp)
+                _accum(base + r, new * corfac, (r % 2) == 0)
+                pp, pc = pc, new
+            big = jnp.maximum(jnp.abs(pc), jnp.abs(pp)) > _TH_BIG
+            scale = jnp.where(big, _RESC, 1.0)
+            pp_ref[...] = pp * scale
+            pc_ref[...] = pc * scale
+            k_ref[...] = k + big.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, LB // RS, win, 0)
 
 
-@partial(jax.jit, static_argnums=(0, 6))
-def _analysis_alm(plan_key, ere, eim, ore, oim, geo, nl):
-    nl_pad, nm_pad, J_pad, LB, TM, TJ = plan_key
+@partial(jax.jit, static_argnums=(0, 7))
+def _analysis_alm(plan_key, ere, eim, ore, oim, geo, logc, nl):
+    nl_pad, nm_pad, J_pad, LB, TM, TJ, RS = plan_key
     grid = (nm_pad // TM, J_pad // TJ, nl_pad // LB)
-    kern = partial(_analysis_kernel, nl, LB, TM, TJ)
+    kern = partial(_analysis_kernel, nl, LB, TM, TJ, RS)
     eo_spec = pl.BlockSpec((TM, TJ), lambda m, j, lb: (m, j),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[eo_spec, eo_spec, eo_spec, eo_spec,
-                  pl.BlockSpec((4, TJ), lambda m, j, lb: (0, j),
+                  pl.BlockSpec((5, TJ), lambda m, j, lb: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TM, 128), lambda m, j, lb: (m, 0),
                                memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((nl_pad, nm_pad), jnp.float32),
                    jax.ShapeDtypeStruct((nl_pad, nm_pad), jnp.float32)],
@@ -363,18 +406,18 @@ def _analysis_alm(plan_key, ere, eim, ore, oim, geo, nl):
             pltpu.VMEM((TM, TJ), jnp.float32),
             pltpu.VMEM((TM, TJ), jnp.float32),
             pltpu.VMEM((TM, TJ), jnp.int32),
-            pltpu.VMEM((1, TJ), jnp.float32),
-            pltpu.VMEM((1, TJ), jnp.int32),
         ],
-    )(ere, eim, ore, oim, geo)
+    )(ere, eim, ore, oim, geo, logc)
 
 
-def analysis_pallas(plan, E, O, TM=128, TJ=512, LB=256):
+def analysis_pallas(plan, E, O, TM=128, TJ=512, LB=256, RS=8):
     """Drop-in replacement for transforms.legendre_analysis on TPU.
 
     E, O [nm, J] complex (quadrature-folded even/odd ring pairs) -> alm
     [nl, nm] complex64.
     """
+    from .pallas_legendre_mx import _logc_table
+
     nl, nm, J = plan.nl, plan.nm, plan.J
     TM, TJ = min(TM, 128), min(TJ, max(J, 128))
     nm_pad = -(-nm // TM) * TM
@@ -389,9 +432,11 @@ def analysis_pallas(plan, E, O, TM=128, TJ=512, LB=256):
         _pad_to(plan.sth.astype(jnp.float32), J_pad, 0),
         _pad_to(plan.cot.astype(jnp.float32), J_pad, 0),
         _pad_to(plan.inv_sth.astype(jnp.float32), J_pad, 0),
+        _pad_to(jnp.asarray(plan.ln_sth, jnp.float32), J_pad, 0),
     ])
-    key = (nl_pad, nm_pad, J_pad, LB, TM, TJ)
+    logc = jnp.asarray(_logc_table(nm_pad))
+    key = (nl_pad, nm_pad, J_pad, LB, TM, TJ, RS)
     almre, almim = _analysis_alm(
         key, prep(jnp.real(E)), prep(jnp.imag(E)),
-        prep(jnp.real(O)), prep(jnp.imag(O)), geo, nl)
+        prep(jnp.real(O)), prep(jnp.imag(O)), geo, logc, nl)
     return (almre[:nl, :nm] + 1j * almim[:nl, :nm]).astype(plan.cdtype)

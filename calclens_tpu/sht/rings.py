@@ -159,27 +159,36 @@ class RingStage:
         """RING map(s) [..., npix] -> G [..., nrings_pad, nm] complex.
 
         G[r, m] = e^{-i m phi0_r} * DFT_{n_r}(x_r)[m mod n_r]
+
+        Assembled by CONCATENATION in ring order — every piece (each cap
+        bucket's north side, the belt, each bucket's south side) covers a
+        contiguous ring range, so no [nrings, nm] scatter is needed
+        (TPU scatter-set runs ~25M elem/s: it was ~5 s of the NSIDE 4096
+        analysis).  The belt rows are likewise a contiguous pixel slice of
+        the RING map (reshape, not gather).
         """
         nm, P = self.nm, self.P
         lead = maps.shape[:-1]
-        out = jnp.zeros(lead + (self.nrings_pad, nm), dtype=self.cdtype)
+        nlead = int(np.prod(lead)) if lead else 1
 
-        # equatorial belt: batched rfft + Hermitian unfold to m < nm
-        Xe = self._gather_rows(maps, self.eq_start, P)
-        Fh = jnp.fft.rfft(Xe, axis=-1)              # [..., ne_pad, P/2+1]
+        # equatorial belt: contiguous pixel slice + batched rfft + Hermitian
+        # unfold to m < nm
+        ne = len(self.eq_rows)
+        p0 = int(self.startpix[self.eq_rows[0]])
+        Xe = maps[..., p0: p0 + ne * P].reshape(lead + (ne, P))
+        Fh = jnp.fft.rfft(Xe, axis=-1)              # [..., ne, P/2+1]
         mi = np.arange(nm)
         lowm = mi <= P // 2
         idx = np.where(lowm, mi, P - mi).astype(np.int32)
         Ge = jnp.take(Fh, idx, axis=-1)
         Ge = jnp.where(np.asarray(lowm), Ge, jnp.conj(Ge))
-        out = out.at[..., self.eq_rows_pad[self.eq_valid], :].set(
-            Ge[..., self.eq_valid, :])
 
         # cap buckets: CZT to n_max freqs, replicate by m mod n.  Leading
         # (stream) dims are folded into the czt row axis: one big batched FFT
         # instead of per-stream calls.
-        nlead = int(np.prod(lead)) if lead else 1
-        for b in self.buckets:
+        north_pieces = {}
+        south_pieces = {}
+        for k, b in enumerate(self.buckets):
             Xb = self._gather_rows(maps, b["start"], b["nmax"], b["n"])
             Xf = Xb.reshape((nlead * b["rows_pad"], b["nmax"]))
             nrow = jnp.tile(jnp.asarray(b["n"]), nlead)
@@ -190,9 +199,38 @@ class RingStage:
                            jnp.asarray(b["n"], jnp.int32)[:, None])
             Gb = jnp.take_along_axis(
                 Gb, jnp.broadcast_to(mmod, lead + mmod.shape), axis=-1)
-            out = out.at[..., b["rows_dev"][b["valid"]], :].set(
-                Gb[..., b["valid"], :])
+            # bucket rows = [contiguous north range..., contiguous south
+            # range..., padding]; split into the two ring-ordered pieces
+            rows = b["rows"]
+            nn = int(np.sum(rows < self.eq_rows[0]))
+            assert np.all(np.diff(rows) > 0)
+            north_pieces[k] = (rows[0] if nn else None,
+                               Gb[..., :nn, :])
+            south_pieces[k] = (rows[nn] if nn < len(rows) else None,
+                               Gb[..., nn: len(rows), :])
 
+        # concatenate pieces in ascending first-ring order
+        pieces = []
+        for k in sorted(north_pieces, key=lambda k: north_pieces[k][0]
+                        if north_pieces[k][0] is not None else 1 << 60):
+            r0, piece = north_pieces[k]
+            if r0 is not None:
+                pieces.append((int(r0), piece))
+        pieces.append((int(self.eq_rows[0]), Ge))
+        for k in south_pieces:
+            r0, piece = south_pieces[k]
+            if r0 is not None:
+                pieces.append((int(r0), piece))
+        pieces.sort(key=lambda t: t[0])
+        # verify exact tiling of 0..nrings-1
+        nxt = 0
+        for r0, piece in pieces:
+            assert r0 == nxt, (r0, nxt)
+            nxt += piece.shape[-2]
+        assert nxt == self.nrings, (nxt, self.nrings)
+        pad = jnp.zeros(lead + (self.nrings_pad - self.nrings, nm),
+                        self.cdtype)
+        out = jnp.concatenate([p for _, p in pieces] + [pad], axis=-2)
         return out * self._phase(-1)
 
     def synthesis_hybrid(self, Q):

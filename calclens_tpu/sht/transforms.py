@@ -648,18 +648,44 @@ def _alm2allmaps_streamed(plan: SHTPlan, alm, nblk: int):
     return _apply_covariant_corrections(plan, s)
 
 
+def _seg_geo(plan, r0: int, r1: int):
+    """(sth, cot) per pixel for the contiguous ring range [r0, r1) —
+    the per-segment form of the covariant-correction factors."""
+    sp = np.append(plan.startpix[: plan.nrings], plan.npix)[r0: r1 + 1]
+    seg = int(sp[-1] - sp[0])
+    p = jnp.arange(seg, dtype=jnp.int32) + jnp.int32(sp[0])
+    spd = jnp.asarray(sp[:-1], jnp.int32)
+    r = jnp.searchsorted(spd, p, side="right") - 1
+    sth = jnp.asarray(plan.sth_ring[r0:r1])[r]
+    cot = jnp.asarray(plan.cot_ring[r0:r1])[r]
+    return sth, cot
+
+
+def _correct_seg(plan, s, r0: int, r1: int):
+    """Covariant corrections on one pixel segment [6, seg]
+    (alm2allmaps_transpose_mpi.c:1080-1147), applied per block so the
+    host-streamed assembly is a bare concatenate."""
+    sth, cot = _seg_geo(plan, r0, r1)
+    gp = s[2] / sth
+    s = s.at[2].set(gp)
+    s = s.at[4].set(s[4] / sth - cot * gp)
+    s = s.at[5].set(s[5] / sth**2 + cot * s[1])
+    return s
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
                           prepped=None):
     """One streaming block as a standalone jitted unit (host-streamed path):
     alm -> (north pixel segment, south segment or None) for ring pairs
-    [j0, j1).  plan here is the _geo_view of the block.  prepped (from
-    pallas_legendre_mx.mx_prep) skips the per-block alm stream prep."""
+    [j0, j1), covariant corrections already applied.  plan here is the full
+    plan; prepped (from pallas_legendre_mx.mx_prep) skips the per-block alm
+    stream prep."""
     j0, j1 = Jblk_range
     view = _geo_view(plan, j0, j1)
     qN, qS = _legendre_synth_dispatch(view, alm, True, prepped=prepped)
     sN = _streams_from_q(plan, qN[0].T, qN[1].T, qN[2].T)
-    north = _synth_ring_rows(plan, sN, j0, j1)
+    north = _correct_seg(plan, _synth_ring_rows(plan, sN, j0, j1), j0, j1)
     j1s = min(j1, full_J - 1)
     south = None
     if j1s > j0:
@@ -667,14 +693,11 @@ def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
         sS = _streams_from_q(plan, qS[0, :, :njs][:, ::-1].T,
                              qS[1, :, :njs][:, ::-1].T,
                              qS[2, :, :njs][:, ::-1].T)
-        south = _synth_ring_rows(plan, sS, nrings - j1s, nrings - j0)
+        south = _correct_seg(plan,
+                             _synth_ring_rows(plan, sS, nrings - j1s,
+                                              nrings - j0),
+                             nrings - j1s, nrings - j0)
     return north, south
-
-
-@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1, 2))
-def _write_seg(plan, buf, seg, off: int):
-    return jax.lax.dynamic_update_slice(
-        buf, seg, (jnp.int32(0), jnp.int32(off)))
 
 
 @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
@@ -693,6 +716,35 @@ def _correct_maps(plan, s):
     return s
 
 
+def _force(x):
+    """Trustworthy device sync: fetch one element.  block_until_ready
+    returns EARLY on the axon runtime (docs/TPU_NOTES.md), which let the
+    streamed blocks pile up in flight — measured 51 s for the NSIDE 4096
+    synthesis (allocator stalls at peak memory) vs 18.6 s when each block is
+    actually synced before the next dispatch."""
+    np.asarray(jax.device_get(jax.lax.slice(
+        x, (0,) * x.ndim, (1,) * x.ndim)))
+    return x
+
+
+_assemble_jits = {}
+_mx_prep_jits = {}
+
+
+def _assemble(*segs):
+    """Concatenate the per-block pixel segments (already corrected and in
+    RING order), donating them.  ONE concatenate costs 0.10 s for the six
+    NSIDE 4096 maps; per-segment dynamic_update_slice writes into a
+    persistent buffer cost 0.58 s EACH on this runtime (donation of the
+    4.8 GB buffer is not honored, so every write re-copies it)."""
+    f = _assemble_jits.get(len(segs))
+    if f is None:
+        f = jax.jit(lambda *s: jnp.concatenate(s, axis=-1),
+                    donate_argnums=tuple(range(len(segs))))
+        _assemble_jits[len(segs)] = f
+    return f(*segs)
+
+
 def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     """Host-level streamed synthesis: one jit call per j-block, so the
     runtime frees each block's temporaries before the next starts.  This is
@@ -700,32 +752,39 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     variant cannot bound peak memory because the TPU compiler deletes
     optimization barriers and overlaps the blocks (measured: 8-block
     in-graph streaming still peaks 16.9 GB at NSIDE 4096 vs 15.75 GB HBM).
-    Segments are written into one donated [6, npix] buffer so assembly never
-    doubles the six maps.
+
+    Each block is force-synced (scalar fetch — block_until_ready returns
+    early on this runtime) so blocks never overlap in memory; the segments
+    accumulate to one map's worth (4.8 GB at NSIDE 4096) and are assembled
+    with a single concatenate at the end.
     """
     J, nrings = plan.J, plan.nrings
     assert J % nblk == 0, (J, nblk)
     Jblk = J // nblk
-    sp_ext = np.append(plan.startpix[: plan.nrings], plan.npix)
-    # NOTE: hoisting the MX stream prep out of the blocks (mx_prep) was
-    # measured to OOM at NSIDE 4096: the four [nm_pad, nl_pad] f32 streams
-    # (2.3 GB) held across all blocks push the peak past HBM; per-block
-    # prep re-pays ~2.3 GB of pad/transpose traffic per block but keeps
-    # the peak bounded.
+    # Hoist the MX stream prep out of the blocks: with the write-buffer
+    # assembly gone (see _assemble) the four [nm_pad, nl_pad] f32 streams
+    # (2.3 GB at NSIDE 4096) fit as residents, the per-block prep transients
+    # (~4 GB each) disappear, and alm itself is DONATED into the prep.
     prepped = None
-    buf = jnp.zeros((6, plan.npix), plan.dtype)
+    if _use_pallas_mx(plan):
+        from . import pallas_legendre_mx as MX
+
+        prep = _mx_prep_jits.get((plan.nl, plan.nm))
+        if prep is None:
+            prep = jax.jit(partial(MX.mx_prep, plan.nl, plan.nm,
+                                   derivs=True), donate_argnums=0)
+            _mx_prep_jits[(plan.nl, plan.nm)] = prep
+        prepped = prep(alm)
+        alm = None
+    north, south = [], []
     for b in range(nblk):
         j0, j1 = b * Jblk, (b + 1) * Jblk
         n_seg, s_seg = _synth_block_segments(plan, J, nrings, (j0, j1), alm,
                                              prepped)
-        # block_until_ready serializes the blocks at the host level
-        buf = _write_seg(plan, buf, jax.block_until_ready(n_seg),
-                         int(sp_ext[j0]))
+        north.append(_force(n_seg))
         if s_seg is not None:
-            j1s = min(j1, J - 1)
-            buf = _write_seg(plan, buf, jax.block_until_ready(s_seg),
-                             int(sp_ext[nrings - j1s]))
-    return _correct_maps(plan, buf)
+            south.append(_force(s_seg))
+    return _assemble(*(north + south[::-1]))
 
 
 def _apply_covariant_corrections(plan, s):
