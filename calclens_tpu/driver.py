@@ -506,11 +506,30 @@ class Raytracer:
     def restart_path(self):
         return f"{self.cfg.OutputPath or '.'}/restart.npz"
 
+    def orbax_restart_path(self):
+        return f"{self.cfg.OutputPath or '.'}/restart_orbax"
+
     def save_restart(self, path=None):
         from . import restart as rst
 
         rst.write_restart(path or self.restart_path(), self.cfg, self.rays,
                           self.ray_nest, self.current_plane, self.map_num)
+
+    def save_restart_orbax(self, path=None):
+        """Shard-parallel checkpoint of the packed buffer (each host writes
+        only its shards — no global gather; restart.py)."""
+        from . import restart as rst
+
+        rst.write_restart_orbax(path or self.orbax_restart_path(), self.cfg,
+                                self.rays_packed, self._ray_nest,
+                                self.current_plane, self.map_num)
+
+    def load_restart_orbax(self, path=None):
+        from . import restart as rst
+
+        (self.rays_packed, self._ray_nest, self.current_plane,
+         self.map_num) = rst.read_restart_orbax(
+            path or self.orbax_restart_path(), self.cfg)
 
     def load_restart(self, path=None):
         from . import restart as rst
@@ -637,7 +656,8 @@ class Raytracer:
             if p in map_planes and cfg.OutputPath:
                 tio = time.perf_counter()
                 if cfg.MaxResMap and cfg.RayOutputName:
-                    rayio.write_rays(cfg, self.rays, self.ray_nest, self.map_num)
+                    rayio.write_rays_sharded(cfg, self.rays_packed,
+                                             self._ray_nest, self.map_num)
                 self._write_map_outputs()
                 self.map_num += 1
                 if cfg.Profile:
@@ -647,19 +667,22 @@ class Raytracer:
             if cfg.OutputPath and (
                 now - t_last_restart > cfg.WallTimeBetweenRestart
             ):
-                self.save_restart()
+                # shard-parallel checkpoint: each host writes only its
+                # shards (restart.py:write_restart_orbax)
+                self.save_restart_orbax()
                 if cfg.Profile:
                     self._note_phase(p, "RESTART", time.perf_counter() - now)
                 t_last_restart = now
             if now - t_start > cfg.WallTimeLimit - 5.0 * step_t:
                 # graceful preemption (raytrace.c:143-149)
                 if cfg.OutputPath:
-                    self.save_restart()
+                    self.save_restart_orbax()
                 return self.rays
         if cfg.OutputPath and cfg.RayOutputName:
-            rayio.write_rays(cfg, self.rays, self.ray_nest, self.map_num)
+            rayio.write_rays_sharded(cfg, self.rays_packed, self._ray_nest,
+                                     self.map_num)
         if cfg.OutputPath:
-            self.save_restart()
+            self.save_restart_orbax()
             self.write_timing()
         return self.rays
 

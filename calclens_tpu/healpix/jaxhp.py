@@ -73,7 +73,15 @@ def vec2ang(vec):
 
 
 def pix2vec_ring(pix, order: int, dtype=jnp.float32):
-    """RING pix -> unit vector, pole-stable (uses 1-|z| in the caps)."""
+    """RING pix -> unit vector [..., 3], pole-stable."""
+    x, y, z = pix2vec_ring_soa(pix, order, dtype)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def pix2vec_ring_soa(pix, order: int, dtype=jnp.float32):
+    """RING pix -> unit vector components (x, y, z), pole-stable (uses
+    1-|z| in the caps).  SoA form: no trailing length-3 axis is ever
+    materialized (TPU tiling pads small trailing dims; rays/soa.py)."""
     nside = 1 << order
     npix = 12 * nside * nside
     ncap = 2 * nside * (nside - 1)
@@ -113,7 +121,7 @@ def pix2vec_ring(pix, order: int, dtype=jnp.float32):
     z = jnp.where(cap, z_cap, z_eq)
     sth = jnp.where(cap, sth_cap, sth_eq)
     phi = jnp.where(cap, phi_cap, phi_eq)
-    return jnp.stack([sth * jnp.cos(phi), sth * jnp.sin(phi), z], axis=-1)
+    return sth * jnp.cos(phi), sth * jnp.sin(phi), z
 
 
 class InterpTables:

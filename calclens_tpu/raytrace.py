@@ -30,8 +30,15 @@ def main(argv=None):
     rt = Raytracer(cfg)
 
     rpath = rt.restart_path()
+    opath = rt.orbax_restart_path()
     legacy = os.path.join(cfg.OutputPath or ".", "restart.0")
-    if os.path.exists(rpath):
+    if os.path.isdir(opath):
+        rt.load_restart_orbax(opath)
+        if len(argv) > 1:
+            rt.current_plane = int(argv[1])
+        print(f"resuming at plane {rt.current_plane} from {opath}",
+              file=sys.stderr)
+    elif os.path.exists(rpath):
         rt.load_restart(rpath)
         if len(argv) > 1:
             rt.current_plane = int(argv[1])

@@ -112,7 +112,7 @@ def test_full_run_with_outputs_and_cmb(tmp_path):
     assert any(f.startswith("Convergence_") for f in out)
     assert any(f.startswith("Rays_") for f in out)
     assert any(f.startswith("ray_") for f in out)
-    assert "restart.npz" in out
+    assert "restart_orbax" in out  # run() checkpoints shard-parallel
 
     # CMB propagation from the final state
     accum = rt.propagate_to_cmb(map_order=3)
@@ -130,4 +130,4 @@ def test_cli_main(tmp_path):
     from calclens_tpu.raytrace import main
 
     assert main([str(cfgfile)]) == 0
-    assert os.path.exists(os.path.join(cfg.OutputPath, "restart.npz"))
+    assert os.path.isdir(os.path.join(cfg.OutputPath, "restart_orbax"))

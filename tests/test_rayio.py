@@ -1,4 +1,6 @@
 """FITS writer/reader and ray-output layout tests (reference rayio.c)."""
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -106,6 +108,102 @@ def test_write_read_rays_layout(tmp_path):
         total += len(rows)
     assert seen_cells == nbc
     assert total == int(hp.order2npix(cfg.rayOrder))
+
+
+def _ring_order_rays(cfg, seed=7):
+    """Rays in RING storage order (the driver's layout) + packed buffer."""
+    from calclens_tpu.rays import soa
+
+    npix = int(hp.order2npix(cfg.rayOrder))
+    nest = hp.ring2nest(np.arange(npix, dtype=np.int64), cfg.rayOrder)
+    vec = hp.pix2vec_nest(nest, cfg.rayOrder)
+    rays = init_rays(vec, 100.0, dtype=jnp.float64)
+    rng = np.random.default_rng(seed)
+    A = np.eye(2) + 0.01 * rng.normal(size=(npix, 2, 2))
+    alpha = 1e-3 * rng.normal(size=(npix, 2))
+    phi = rng.normal(size=npix)
+    n2 = np.asarray(rays.n) + 0.1 * rng.normal(size=(npix, 3))
+    n2 = n2 / np.linalg.norm(n2, axis=1, keepdims=True) * 100.0
+    rays = rays._replace(A=jnp.asarray(A), alpha=jnp.asarray(alpha),
+                         phi=jnp.asarray(phi), n=jnp.asarray(n2))
+    packed = jnp.asarray(np.asarray(jnp.stack([
+        rays.n[:, 0], rays.n[:, 1], rays.n[:, 2],
+        rays.beta[:, 0], rays.beta[:, 1], rays.beta[:, 2],
+        rays.A[:, 0, 0], rays.A[:, 0, 1], rays.A[:, 1, 0], rays.A[:, 1, 1],
+        rays.Aprev[:, 0, 0], rays.Aprev[:, 0, 1],
+        rays.Aprev[:, 1, 0], rays.Aprev[:, 1, 1],
+        rays.alpha[:, 0], rays.alpha[:, 1],
+        rays.U[:, 0, 0], rays.U[:, 0, 1], rays.U[:, 1, 0], rays.U[:, 1, 1],
+        rays.phi])))
+    return rays, nest, packed
+
+
+def _assert_ray_files_match(paths_a, paths_b):
+    assert len(paths_a) == len(paths_b)
+    for pa, pb in zip(paths_a, paths_b):
+        ha, na, sa, ra = rayio.read_rays(pa)
+        hb, nb, sb, rb = rayio.read_rays(pb)
+        assert ha == hb
+        np.testing.assert_array_equal(na, nb)
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(ra["nest"], rb["nest"])
+        for f in ra.dtype.names:
+            if f != "nest":
+                np.testing.assert_allclose(ra[f], rb[f], atol=1e-9,
+                                           err_msg=f)
+
+
+def test_write_rays_sharded_fullsky_matches_host(tmp_path):
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=1000.0, NumLensPlanes=4,
+        rayOrder=4, bundleOrder=2, SHTOrder=4,
+        OutputPath=str(tmp_path / "a"), RayOutputName="ray_",
+        NumRayOutputFiles=3, OutputRayDeflections=True, OutputPhi=True,
+    ).finalize()
+    rays, nest, packed = _ring_order_rays(cfg)
+    pa = rayio.write_rays(cfg, rays, nest)
+    cfg_b = dataclasses.replace(cfg, OutputPath=str(tmp_path / "b"))
+    pb = rayio.write_rays_sharded(cfg_b, packed, None)
+    _assert_ray_files_match(pa, pb)
+
+
+def test_write_rays_sharded_restricted_matches_host(tmp_path):
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=1000.0, NumLensPlanes=4,
+        rayOrder=4, bundleOrder=2, SHTOrder=4,
+        OutputPath=str(tmp_path / "a"), RayOutputName="ray_",
+        NumRayOutputFiles=2, OutputRayDeflections=True,
+    ).finalize()
+    rays, nest, packed = _ring_order_rays(cfg)
+    # a ra-dec-box-like subset (every 3rd ray), storage order preserved
+    keep = np.arange(0, len(nest), 3)
+    sub = rays._replace(**{f: getattr(rays, f)[keep]
+                           for f in rays._fields})
+    pa = rayio.write_rays(cfg, sub, nest[keep])
+    cfg_b = dataclasses.replace(cfg, OutputPath=str(tmp_path / "b"))
+    pb = rayio.write_rays_sharded(cfg_b, packed[:, keep], nest[keep])
+    _assert_ray_files_match(pa, pb)
+
+
+def test_write_rays_sharded_on_mesh(tmp_path):
+    """Mesh-sharded buffer writes the same files as the single-device path;
+    the global [21, N] array is never gathered to the host."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=1000.0, NumLensPlanes=4,
+        rayOrder=4, bundleOrder=2, SHTOrder=4,
+        OutputPath=str(tmp_path / "a"), RayOutputName="ray_",
+        NumRayOutputFiles=4, OutputRayDeflections=True, OutputPhi=True,
+    ).finalize()
+    _, nest, packed = _ring_order_rays(cfg)
+    pa = rayio.write_rays_sharded(cfg, packed, None)
+    mesh = Mesh(np.array(jax.devices()), ("rays",))
+    sharded = jax.device_put(packed, NamedSharding(mesh, P(None, "rays")))
+    cfg_b = dataclasses.replace(cfg, OutputPath=str(tmp_path / "b"))
+    pb = rayio.write_rays_sharded(cfg_b, sharded, None)
+    _assert_ray_files_match(pa, pb)
 
 
 def test_written_A_is_observer_frame(tmp_path):
