@@ -630,6 +630,10 @@ class Raytracer:
                         images = gs.find_images_born(
                             cfg, gs_tab_dev, self.rays_packed, ppos, pidx,
                             pp.rad, pp.rad_minus1)
+                    elif gs_tab_dev is not None and self.mesh is not None:
+                        images = gs.find_images_sharded(
+                            cfg, gs_tab_dev, self.rays_packed, ppos, pidx,
+                            pp.rad, pp.rad_minus1, self.mesh)
                     elif gs_tab_dev is not None:
                         images = gs.find_images_device(
                             cfg, gs_tab_dev, self.rays_packed, ppos, pidx,

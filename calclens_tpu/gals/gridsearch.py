@@ -284,10 +284,11 @@ def search_windows(ray_order: int):
     return nring_w, nphi_w
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _search_chunk_device(tab, packed, topk, gvec, grad, tvec, pvec,
-                         wpm1, wpm2):
-    """Fully device candidate prep + barycentric test for one gal chunk.
+def _bary_search(tab, topk, win, base, gvec, grad, tvec, pvec, wpm1, wpm2):
+    """Device candidate prep + barycentric test for one gal chunk, against
+    the ray window `win` [21, W] whose column 0 is GLOBAL ray pixel `base`
+    (base=0, W=npix for the single-device full buffer; a halo window inside
+    the sharded search).
 
     Candidates come from a ring/phi index window around each galaxy
     (jaxhp.ring_window — pure ring-table arithmetic, no O(npix) tables),
@@ -297,11 +298,12 @@ def _search_chunk_device(tab, packed, topk, gvec, grad, tvec, pvec,
     gathered for the exact deformed-triangle test — the gather volume per
     galaxy drops from window*4 triangles to topk*4.
 
-    Returns (hit [G, T], ix, iy, verts [G, T, 3]) with T = 4 * topk.
+    Returns (hit [G, T], ix, iy) with T = 4 * topk.
     """
     from ..healpix import jaxhp
 
-    dtype = packed.dtype
+    dtype = win.dtype
+    W = win.shape[1]
     theta, phi = jaxhp.vec2ang(gvec)
     nring_w, nphi_w = search_windows(tab.order)
     pixw, valid = jaxhp.ring_window(tab, theta, phi, nring_w, nphi_w)
@@ -319,12 +321,13 @@ def _search_chunk_device(tab, packed, topk, gvec, grad, tvec, pvec,
     tri = jaxhp.triangles_ring(tab, cand)             # [G, K, 4, 3]
     tri = tri.reshape(G, -1, 3)                       # [G, T, 3]
     vmask = tri[:, :, 0] >= 0
-    verts = jnp.where(tri >= 0, tri, 0)
+    verts = jnp.where(tri >= 0, tri, 0)               # global ray pixels
+    lverts = jnp.clip(verts - base, 0, W - 1)         # window-local rows
 
     # exact test on the deformed grid: propagate candidate vertices to the
     # galaxy radius (positions only — A gathers happen per HIT later)
-    n = _gather_vec(packed, 0, verts)
-    beta = _gather_vec(packed, 3, verts)
+    n = _gather_vec(win, 0, lverts)
+    beta = _gather_vec(win, 3, lverts)
     wp = grad[:, None, None]
     qb = 2.0 * jnp.sum(n * beta, axis=-1)
     qc = wpm1 * wpm1 - wp * wp
@@ -358,6 +361,14 @@ def _search_chunk_device(tab, packed, topk, gvec, grad, tvec, pvec,
     ix = jnp.sum(sx * w, axis=-1)
     iy = jnp.sum(sy * w, axis=-1)
     return hit, ix, iy
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _search_chunk_device(tab, packed, topk, gvec, grad, tvec, pvec,
+                         wpm1, wpm2):
+    """Single-device form of _bary_search: window = the full ray buffer."""
+    return _bary_search(tab, topk, packed, jnp.int32(0), gvec, grad, tvec,
+                        pvec, wpm1, wpm2)
 
 
 def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
@@ -424,6 +435,219 @@ def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
         Ard[:, 1, 1] = Aimg[:, 0, 0]
         ra, dec = hp.vec2radec(ivec)
         out_idx.append(gidx[gi2])
+        out_ra.append(ra)
+        out_dec.append(dec)
+        out_A.append(Ard)
+
+    if not out_idx:
+        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                         np.zeros((0, 2, 2)))
+    return ImageGals(np.concatenate(out_idx), np.concatenate(out_ra),
+                     np.concatenate(out_dec), np.concatenate(out_A))
+
+
+# ----------------------------------------------------------------------------
+# mesh-sharded search (ray-halo exchange — the get_buffer_rays analog)
+# ----------------------------------------------------------------------------
+
+def ray_halo(ray_order: int, n_shards: int) -> int:
+    """Ray-pixel halo for the sharded grid search: a galaxy owned by the
+    shard of its central pixel has candidate triangles spanning nring_w
+    rings above/below (search_windows) plus one triangle ring; each ring is
+    at most 4*nside pixels.  The reference ships whole buffer rays between
+    tasks instead (get_buffer_rays, gridsearch.c:99); here the halo is a
+    fixed two-sided block exchange like the map interp halo
+    (parallel/halo.py)."""
+    nside = 1 << ray_order
+    nring_w, _ = search_windows(ray_order)
+    H = (nring_w + 3) * 4 * nside
+    blk = int(hp.order2npix(ray_order)) // n_shards
+    if H > blk:
+        import warnings
+
+        warnings.warn(
+            f"gridsearch ray halo truncated: need {H} ray pixels but the "
+            f"shard block is only {blk}; gals near shard edges may lose "
+            f"candidate triangles.  Use fewer shards.", stacklevel=2)
+    return min(H, blk)
+
+
+@partial(jax.jit, static_argnames=("tab", "topk", "mesh", "halo"))
+def _search_sharded(tab, topk, mesh, halo, packed, gvec, grad, tvec, pvec,
+                    wpm1, wpm2):
+    """shard_map barycentric search: rays block-sharded [21, N]; gals
+    pre-assigned to the shard owning their central pixel ([ndev*Gd] rows,
+    axis 0 sharded).  Each shard searches only its own gals against its ray
+    block + halo."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import AXIS
+
+    n = mesh.devices.size
+    blk = packed.shape[1] // n
+    H = int(halo)
+
+    def body(ray_blk, gv, gr, tv, pv, w1, w2):
+        left = jax.lax.ppermute(ray_blk[:, blk - H:], AXIS,
+                                [(i, i + 1) for i in range(n - 1)])
+        right = jax.lax.ppermute(ray_blk[:, :H], AXIS,
+                                 [(i + 1, i) for i in range(n - 1)])
+        win = jnp.concatenate([left, ray_blk, right], axis=1)
+        base = jax.lax.axis_index(AXIS).astype(jnp.int32) * blk - H
+        return _bary_search(tab, topk, win, base, gv, gr, tv, pv, w1, w2)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(), P()),
+        out_specs=P(AXIS),
+    )(packed, gvec, grad, tvec, pvec, wpm1, wpm2)
+
+
+@partial(jax.jit, static_argnames=("mesh", "halo"))
+def _interp_A_sharded(mesh, halo, packed, ivec, grad, pix4, wgt4, cvec4,
+                      wpm1, wpm2):
+    """shard_map 4-ray bilinear A at image positions (rows pre-assigned to
+    the shard owning the image pixel; pix4 are GLOBAL ray pixels)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.sharding import AXIS
+
+    n = mesh.devices.size
+    blk = packed.shape[1] // n
+    H = int(halo)
+
+    def body(ray_blk, iv, gr, p4, w4, c4, w1, w2):
+        left = jax.lax.ppermute(ray_blk[:, blk - H:], AXIS,
+                                [(i, i + 1) for i in range(n - 1)])
+        right = jax.lax.ppermute(ray_blk[:, :H], AXIS,
+                                 [(i + 1, i) for i in range(n - 1)])
+        win = jnp.concatenate([left, ray_blk, right], axis=1)
+        base = jax.lax.axis_index(AXIS).astype(jnp.int32) * blk - H
+        lp4 = jnp.clip(p4 - base, 0, win.shape[1] - 1)
+        return _interp_A_at(iv, gr, w1, w2, lp4, w4, c4, win)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P(), P()),
+        out_specs=P(AXIS),
+    )(packed, ivec, grad, pix4, wgt4, cvec4, wpm1, wpm2)
+
+
+def _pad_rows(order, counts, ndev, unit=256):
+    """Per-device padded row table: rows[d, j] = original index or -1."""
+    Gd = max(1, -(-int(counts.max()) // unit) * unit)
+    rows = np.full((ndev, Gd), -1, np.int64)
+    off = np.concatenate([[0], np.cumsum(counts)])
+    for d in range(ndev):
+        rows[d, : counts[d]] = order[off[d]: off[d + 1]]
+    return rows
+
+
+def find_images_sharded(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
+                        mesh, chunk=16384, topk=16):
+    """Mesh-sharded find_images_device: rays stay block-sharded on the mesh;
+    each shard searches the gals whose central RING pixel it owns, reading
+    neighbor rays through a fixed halo exchange (the reference's
+    get_buffer_rays + distribute_gals_to_tasks, gridsearch.c:99 /
+    galsio.c:559-1036).  No participant ever gathers the full ray buffer.
+    Results match find_images_device on the same inputs."""
+    from ..healpix import jaxhp  # noqa: F401  (kernels imported lazily)
+
+    packed_dev = packed if isinstance(packed, jnp.ndarray) else \
+        jnp.asarray(packed)
+    dtype = packed_dev.dtype
+    ndev = int(mesh.devices.size)
+    N = int(packed_dev.shape[1])
+    blk = N // ndev
+    G = len(gal_pos)
+    if G == 0:
+        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                         np.zeros((0, 2, 2)))
+    H = ray_halo(cfg.rayOrder, ndev)
+
+    gal_pos = np.asarray(gal_pos, np.float64)
+    grad_all = np.linalg.norm(gal_pos, axis=1)
+    gvec_all = gal_pos / grad_all[:, None]
+    theta_all, phi_all = hp.vec2ang(gvec_all)
+    cpix = hp.ang2pix_ring(theta_all, phi_all, cfg.rayOrder)
+    owner = np.minimum(cpix // blk, ndev - 1).astype(np.int64)
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner, minlength=ndev)
+    rows = _pad_rows(order, counts, ndev, unit=min(256, chunk))
+    Gd = rows.shape[1]
+
+    wpm1j = jnp.asarray(wpm1, dtype)
+    wpm2j = jnp.asarray(wpm2, dtype)
+    tol = 1e-3 * np.sqrt(4.0 * np.pi / N)
+    # pad slots point at the owning device's block-center pixel so their
+    # candidate windows stay inside the halo (results are discarded)
+    pad_vec = np.asarray(hp.pix2vec_nest(
+        hp.ring2nest(np.arange(ndev) * blk + blk // 2, cfg.rayOrder),
+        cfg.rayOrder))
+
+    out_idx, out_ra, out_dec, out_A = [], [], [], []
+    for j0 in range(0, Gd, chunk):
+        rc = rows[:, j0: j0 + chunk]                 # [ndev, Gc]
+        Gc = rc.shape[1]
+        if not np.any(rc >= 0):
+            continue
+        src = np.where(rc >= 0, rc, 0).reshape(-1)
+        gvec = gvec_all[src]
+        grad = grad_all[src].copy()
+        padm = (rc < 0).reshape(-1)
+        gvec[padm] = np.repeat(pad_vec, Gc, axis=0)[padm]
+        grad[padm] = float(wpm1)
+
+        hit, ix, iy = _search_sharded(
+            tab, topk, mesh, H, packed_dev,
+            jnp.asarray(gvec, dtype), jnp.asarray(grad, dtype),
+            jnp.asarray(_tvec(gvec), dtype), jnp.asarray(_pvec(gvec), dtype),
+            wpm1j, wpm2j)
+        hit = np.array(hit)
+        hit[padm] = False
+        gi, ti = np.nonzero(hit)
+        if len(gi) == 0:
+            continue
+        ixh = np.asarray(ix)[gi, ti]
+        iyh = np.asarray(iy)[gi, ti]
+        gi2, ixh, iyh = _dedup_hits(gi, ixh, iyh, tol)
+        tv, pv = _tvec(gvec), _pvec(gvec)
+        ivec = gvec[gi2] + ixh[:, None] * tv[gi2] + iyh[:, None] * pv[gi2]
+
+        # second sharded pass: A at the image positions, rows re-assigned
+        # to the shard owning the image pixel
+        theta, phi = hp.vec2ang(ivec)
+        pix4, wgt4 = hp.get_interpol(theta, phi, cfg.rayOrder)
+        cvec4 = hp.pix2vec_ring(pix4.reshape(-1), cfg.rayOrder
+                                ).reshape(-1, 4, 3)
+        iowner = np.minimum(
+            hp.ang2pix_ring(theta, phi, cfg.rayOrder) // blk,
+            ndev - 1).astype(np.int64)
+        iorder = np.argsort(iowner, kind="stable")
+        icounts = np.bincount(iowner, minlength=ndev)
+        irows = _pad_rows(iorder, icounts, ndev, unit=64)
+        isrc = np.where(irows >= 0, irows, 0).reshape(-1)
+        Aimg_p = _interp_A_sharded(
+            mesh, H, packed_dev,
+            jnp.asarray(ivec[isrc], dtype),
+            jnp.asarray(grad[gi2][isrc], dtype),
+            jnp.asarray(pix4[isrc]), jnp.asarray(wgt4[isrc], dtype),
+            jnp.asarray(cvec4[isrc], dtype), wpm1j, wpm2j)
+        # un-permute back to hit order
+        Aimg = np.empty((len(gi2), 2, 2), np.float64)
+        flat_rows = irows.reshape(-1)
+        real = flat_rows >= 0
+        Aimg[flat_rows[real]] = np.asarray(Aimg_p, np.float64)[real]
+        Ard = np.empty_like(Aimg)
+        Ard[:, 0, 0] = Aimg[:, 1, 1]
+        Ard[:, 0, 1] = -Aimg[:, 1, 0]
+        Ard[:, 1, 0] = -Aimg[:, 0, 1]
+        Ard[:, 1, 1] = Aimg[:, 0, 0]
+        ra, dec = hp.vec2radec(ivec)
+        gidx_rows = np.asarray(gal_index)[rc.reshape(-1)[gi2]]
+        out_idx.append(gidx_rows)
         out_ra.append(ra)
         out_dec.append(dec)
         out_A.append(Ard)

@@ -29,6 +29,7 @@ derivatives with the cot corrections of alm2allmaps_transpose_mpi.c:1094-1147.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -481,9 +482,12 @@ def _synth_stream_blocks(plan):
     nblk = getattr(plan, "synth_stream", None)
     if nblk is not None:
         return int(nblk)
+    env = os.environ.get("CALCLENS_SYNTH_STREAM")
+    if env:
+        return int(env)
     if plan.spec is not None or plan.order < 12:
         return 1
-    return 1 << (plan.order - 9)  # 8 at order 12, 16 at order 13
+    return 2 << (plan.order - 9)  # 16 at order 12, 32 at order 13
 
 
 def _rows_phase(plan: SHTPlan, r0: int, r1: int, sign):
@@ -727,22 +731,24 @@ def _force(x):
     return x
 
 
-_assemble_jits = {}
+_seg_write_jits = {}
 _mx_prep_jits = {}
 
 
-def _assemble(*segs):
-    """Concatenate the per-block pixel segments (already corrected and in
-    RING order), donating them.  ONE concatenate costs 0.10 s for the six
-    NSIDE 4096 maps; per-segment dynamic_update_slice writes into a
-    persistent buffer cost 0.58 s EACH on this runtime (donation of the
-    4.8 GB buffer is not honored, so every write re-copies it)."""
-    f = _assemble_jits.get(len(segs))
+def _seg_write(buf, seg, col0: int):
+    """Write one corrected pixel segment into the [6, npix] output buffer
+    in place (donated dynamic_update_slice: measured ~30-40 ms per call at
+    NSIDE 4096 — dispatch latency, not a buffer copy).  Peak memory stays
+    at ONE output buffer plus one block's segment; the previous
+    concatenate-at-end assembly kept every segment live alongside the
+    freshly allocated output (2 x 4.8 GB at NSIDE 4096) and OOMed the full
+    plane step on a 16 GB chip."""
+    f = _seg_write_jits.get(seg.shape[-1])
     if f is None:
-        f = jax.jit(lambda *s: jnp.concatenate(s, axis=-1),
-                    donate_argnums=tuple(range(len(segs))))
-        _assemble_jits[len(segs)] = f
-    return f(*segs)
+        f = jax.jit(lambda b, s, i: jax.lax.dynamic_update_slice(
+            b, s, (jnp.int32(0), i)), donate_argnums=(0,))
+        _seg_write_jits[seg.shape[-1]] = f
+    return f(buf, seg, jnp.int32(col0))
 
 
 def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
@@ -754,9 +760,9 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     in-graph streaming still peaks 16.9 GB at NSIDE 4096 vs 15.75 GB HBM).
 
     Each block is force-synced (scalar fetch — block_until_ready returns
-    early on this runtime) so blocks never overlap in memory; the segments
-    accumulate to one map's worth (4.8 GB at NSIDE 4096) and are assembled
-    with a single concatenate at the end.
+    early on this runtime) so blocks never overlap in memory; each block's
+    corrected segments are written in place into the single [6, npix]
+    output buffer (donated dynamic_update_slice, _seg_write).
     """
     J, nrings = plan.J, plan.nrings
     assert J % nblk == 0, (J, nblk)
@@ -776,15 +782,17 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
             _mx_prep_jits[(plan.nl, plan.nm)] = prep
         prepped = prep(alm)
         alm = None
-    north, south = [], []
+    sp = np.append(plan.startpix[: plan.nrings], plan.npix)
+    out = jnp.zeros((6, plan.npix), plan.dtype)
     for b in range(nblk):
         j0, j1 = b * Jblk, (b + 1) * Jblk
         n_seg, s_seg = _synth_block_segments(plan, J, nrings, (j0, j1), alm,
                                              prepped)
-        north.append(_force(n_seg))
+        out = _seg_write(out, _force(n_seg), int(sp[j0]))
         if s_seg is not None:
-            south.append(_force(s_seg))
-    return _assemble(*(north + south[::-1]))
+            j1s = min(j1, J - 1)
+            out = _seg_write(out, _force(s_seg), int(sp[nrings - j1s]))
+    return out
 
 
 def _apply_covariant_corrections(plan, s):

@@ -308,6 +308,48 @@ def test_device_search_matches_host_pointmass(pm_trace):
     np.testing.assert_allclose(dev.A[od], host.A[oh], atol=1e-10)
 
 
+def test_sharded_search_matches_device_pointmass(pm_trace):
+    """gals + mesh: the halo-exchange sharded search (rays block-sharded
+    over 8 devices, gals assigned to their owner shard — the reference's
+    get_buffer_rays/distribute_gals_to_tasks analog) matches the
+    single-device search exactly."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from calclens_tpu.healpix import jaxhp
+    from calclens_tpu.parallel.sharding import make_mesh
+
+    cfg, rt, mass_vec, mass_plane = pm_trace
+    target_plane = mass_plane + 1
+    binL = cfg.maxComvDistance / cfg.NumLensPlanes
+    w_src = target_plane * binL + binL / 2.0
+
+    rng = np.random.default_rng(11)
+    nsrc = 150
+    g = rng.normal(size=(nsrc, 3))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    gal_pos = g * w_src
+
+    pp = plane_params(cfg, rt.cosmo, target_plane)
+    tab = jaxhp.InterpTables(cfg.rayOrder, dtype=jnp.float64)
+    dev = gs.find_images_device(cfg, tab, rt.rays_packed, gal_pos,
+                                np.arange(nsrc), pp.rad, pp.rad_minus1,
+                                chunk=256)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sharded_rays = jax.device_put(
+        rt.rays_packed, NamedSharding(mesh, P(None, "shard")))
+    sh = gs.find_images_sharded(cfg, tab, sharded_rays, gal_pos,
+                                np.arange(nsrc), pp.rad, pp.rad_minus1,
+                                mesh, chunk=256)
+    assert len(sh.index) == len(dev.index)
+    od = np.lexsort((dev.ra, dev.index))
+    os_ = np.lexsort((sh.ra, sh.index))
+    np.testing.assert_array_equal(sh.index[os_], dev.index[od])
+    np.testing.assert_allclose(sh.ra[os_], dev.ra[od], atol=1e-8)
+    np.testing.assert_allclose(sh.dec[os_], dev.dec[od], atol=1e-8)
+    np.testing.assert_allclose(sh.A[os_], dev.A[od], atol=1e-10)
+
+
 def test_born_search_identity_grid():
     from calclens_tpu.healpix import jaxhp
     from calclens_tpu.rays import soa
