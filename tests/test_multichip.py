@@ -190,3 +190,36 @@ def test_sharded_step_executes_order8():
     assert out.shape == packed.shape
     assert len(out.sharding.device_set) == 8
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.slow
+def test_sharded_plane_step_order13_northstar():
+    """NSIDE 8192 north star (BASELINE.json): AOT-compile the fully-sharded
+    plane step at order 13 (NSIDE 8192, rayOrder 13 — 805M pixels, 805M
+    rays) on the 8-device mesh.  Per-device peak must fit a TPU v5p chip
+    (95 GiB HBM); the ring<->m boundary must stay an all-to-all with no
+    full-map-sized all-gather.  (Executing this shape needs a real pod
+    slice: one plane is ~5e15 Legendre elements — the projection lives in
+    BASELINE.md.)"""
+    import re
+    import __graft_entry__ as g
+
+    order = 13
+    npix = 12 * 4**order
+    mesh = make_mesh(8)
+    fn, avals = g._build_abstract(order, order, mesh)
+    compiled = jax.jit(fn, donate_argnums=(0,)).lower(*avals).compile()
+
+    mem = compiled.memory_analysis()
+    peak = (int(mem.peak_memory_in_bytes) + int(mem.argument_size_in_bytes)
+            + int(mem.output_size_in_bytes) - int(mem.alias_size_in_bytes))
+    assert peak < 95 * 1024**3, f"per-device peak {peak/2**30:.2f} GiB"
+
+    txt = compiled.as_text()
+    assert "all-to-all" in txt
+    big = 0
+    for m in re.finditer(r"all-gather[^=]*=?\s*\w*\[([0-9,]+)\]", txt):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        n = int(np.prod(dims)) if dims else 0
+        big = max(big, n)
+    assert big <= npix * 4 // 3, f"all-gather of {big} elements"
