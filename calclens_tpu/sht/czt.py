@@ -13,6 +13,11 @@ which is uniform over rings (n enters only through the chirp phases) and maps
 onto large batched XLA FFTs.  Chirp phases use exact integer reduction
 t^2 mod 2n in int32 (valid for t <= 2^15.5, i.e. nside <= 8192) so phase error
 stays at f32 rounding level even for t^2 ~ 2^30.
+
+The chirp tables (w and FFT(v)) depend only on the ring lengths n — not on
+the data — so callers transforming S streams over the same rings pass
+x as [S, R, N] and the tables are built (or cached) once per ring instead of
+S-fold: the v-FFT and the cos/sin chirp generation shrink by S.
 """
 
 from __future__ import annotations
@@ -32,41 +37,60 @@ def _chirp(tmax, n, L, sign, cdtype):
     return (jnp.cos(ph) + 1j * jnp.sin(ph)).astype(cdtype)
 
 
-def czt(x, n, K, L, sign, cdtype):
-    """Chirp-Z transform of each row of x.
+def czt_tables(n, N, K, L, sign, cdtype):
+    """Data-independent chirp tables for rings n [R]: (w [R, tmax], Vf [R, L]).
 
-    x : [R, N] complex (or real) input rows; entries at j >= n[r] must be 0.
-    n : [R] int32 per-row DFT length (the "ring length").
-    K : number of output frequencies per row (static).
-    sign : +1 evaluates sum_j x_j e^{+2i pi jk/n}, -1 the forward DFT.
-    Returns [R, K] complex.
-    """
-    R, N = x.shape
+    w is the pre/post-multiply chirp; Vf = FFT_L of the wrapped conjugate
+    chirp (the convolution kernel).  Both depend only on (n, shapes), so they
+    can be built once per ring set and reused across streams, j-blocks, and
+    lens planes."""
+    R = n.shape[0]
     tmax = max(N, K)
-    # X_k = w_k * sum_j (x_j w_j) v_{k-j} with w_t = e^{s i pi t^2/n}, v = conj(w)
     w = _chirp(tmax, n, L, +sign, cdtype)
     v = _chirp(tmax, n, L, -sign, cdtype)
-
-    a = jnp.zeros((R, L), dtype=cdtype)
-    a = a.at[:, :N].set(x.astype(cdtype) * w[:, :N])
     vc = jnp.zeros((R, L), dtype=cdtype)
     vc = vc.at[:, :tmax].set(v)
     # wrap negative lags: v_{-t} = v_t at position L - t
     vc = vc.at[:, L - tmax + 1:].add(v[:, 1:][:, ::-1])
-
-    X = jnp.fft.ifft(jnp.fft.fft(a, axis=1) * jnp.fft.fft(vc, axis=1), axis=1)
-    return X[:, :K] * w[:, :K]
+    return w, jnp.fft.fft(vc, axis=1)
 
 
-def czt_blocked(x, n, K, L, sign, cdtype, block):
+def czt(x, n, K, L, sign, cdtype, tables=None):
+    """Chirp-Z transform of each row of x.
+
+    x : [..., R, N] complex (or real) input rows; entries at j >= n[r] must
+        be 0.  Leading axes are streams sharing the same rings (and tables).
+    n : [R] int32 per-row DFT length (the "ring length").
+    K : number of output frequencies per row (static).
+    sign : +1 evaluates sum_j x_j e^{+2i pi jk/n}, -1 the forward DFT.
+    tables : optional precomputed czt_tables(n, N, K, L, sign, cdtype).
+    Returns [..., R, K] complex.
+    """
+    N = x.shape[-1]
+    if tables is None:
+        tables = czt_tables(n, N, K, L, sign, cdtype)
+    w, Vf = tables
+    a = jnp.zeros(x.shape[:-1] + (L,), dtype=cdtype)
+    a = a.at[..., :N].set(x.astype(cdtype) * w[..., :N])
+    X = jnp.fft.ifft(jnp.fft.fft(a, axis=-1) * Vf, axis=-1)
+    return X[..., :K] * w[..., :K]
+
+
+def czt_blocked(x, n, K, L, sign, cdtype, block, tables=None):
     """Apply czt in row blocks of size `block` to bound peak memory.
 
     Blocks are unrolled in the graph (a handful at most): lax.map's
-    serialization costs several x on TPU."""
-    R = x.shape[0]
+    serialization costs several x on TPU.  Blocking is over the ring axis
+    (second-to-last); leading stream axes ride along whole."""
+    R = x.shape[-2]
     assert R % block == 0, (R, block)
     if R == block:
-        return czt(x, n, K, L, sign, cdtype)
-    outs = [czt(x[i: i + block], n[i: i + block], K, L, sign, cdtype)
-            for i in range(0, R, block)]
-    return jnp.concatenate(outs, axis=0)
+        return czt(x, n, K, L, sign, cdtype, tables=tables)
+    outs = []
+    for i in range(0, R, block):
+        tab = None
+        if tables is not None:
+            tab = (tables[0][i: i + block], tables[1][i: i + block])
+        outs.append(czt(x[..., i: i + block, :], n[i: i + block], K, L,
+                        sign, cdtype, tables=tab))
+    return jnp.concatenate(outs, axis=-2)

@@ -508,18 +508,23 @@ def _next_fft_len(n: int) -> int:
     return min(p2, p3)
 
 
-def _czt_rows_padded(x, n, K, L, sign, cdtype, block):
-    """czt_blocked tolerant of row counts that don't divide `block`."""
+def _czt_rows_padded(x, n, K, L, sign, cdtype, block, tables=None):
+    """czt_blocked tolerant of ring counts that don't divide `block`.
+
+    x may carry leading stream axes ([..., R, N]); blocking and padding act
+    on the ring axis.  `tables` are optional precomputed chirp tables for
+    the PADDED ring set (czt.czt_tables)."""
     from .czt import czt_blocked
 
-    R = x.shape[0]
+    R = x.shape[-2]
     block = min(block, R)
     Rp = -(-R // block) * block
     if Rp != R:
-        x = jnp.pad(x, ((0, Rp - R), (0, 0)))
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 2) + ((0, Rp - R), (0, 0)))
         n = np.concatenate([n, np.full(Rp - R, 4, n.dtype)])
     return czt_blocked(x, jnp.asarray(n), K=K, L=L, sign=sign,
-                       cdtype=cdtype, block=block)[:R]
+                       cdtype=cdtype, block=block,
+                       tables=tables)[..., :R, :]
 
 
 def _rows_dft_belt(plan: SHTPlan, Y):
@@ -566,39 +571,51 @@ def _seg_gather(plan, X, a: int, b: int):
     return jnp.take(X.reshape(k, (b - a) * X.shape[-1]), idx, axis=-1)
 
 
-def _synth_ring_rows(plan: SHTPlan, S, r0: int, r1: int):
+def _cap_czt_shape(plan, a: int, b: int):
+    """Static czt shape parameters for the cap ring range [a, b)."""
+    nmax = int(np.asarray(plan.npix_ring[a:b]).max())
+    Lc = _next_fft_len(nmax + plan.nm)
+    return nmax, Lc
+
+
+def _ring_subranges(plan, r0: int, r1: int):
+    """Split [r0, r1) into maximal belt / cap sub-ranges (host-side)."""
+    npr = np.asarray(plan.npix_ring[r0:r1])
+    belt = npr == plan.P
+    idxb = np.flatnonzero(belt)
+    bounds = ([r0, r0 + int(idxb[0]), r0 + int(idxb[-1]) + 1, r1]
+              if len(idxb) else [r0, r1])
+    return [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+
+def _synth_ring_rows(plan: SHTPlan, S, r0: int, r1: int, tables=None):
     """Ring-synthesize rows for the contiguous ring range [r0, r1).
 
     S [k, r1-r0, nm] complex q-values per ring -> pixel values [k, seg]
     where seg = startpix[r1] - startpix[r0] (contiguous in the RING map).
     Belt sub-ranges emit pixels by plain reshape (every belt ring has
     exactly P pixels, so rows ARE the pixel run — no gather); cap
-    sub-ranges gather through the ring-length table.
+    sub-ranges run a chirp-Z with the k streams sharing ONE set of per-ring
+    chirp tables (built in-graph, or passed in via `tables`
+    {(a, b): czt_tables} when cached across blocks/planes).
     """
     k, Rblk, nm = S.shape
     wfold = jnp.asarray(np.where(np.arange(nm) == 0, 1.0, 2.0), plan.dtype)
     Y = S * wfold[None, None, :] * _rows_phase(plan, r0, r1, +1)[None]
-    npr = np.asarray(plan.npix_ring[r0:r1])
-    belt = npr == plan.P
-    idxb = np.flatnonzero(belt)
-    bounds = ([r0, r0 + int(idxb[0]), r0 + int(idxb[-1]) + 1, r1]
-              if len(idxb) else [r0, r1])
     segs = []
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        if b <= a:
-            continue
+    for a, b in _ring_subranges(plan, r0, r1):
         Yp = Y[:, a - r0: b - r0]
         if plan.npix_ring[a] == plan.P:
             segs.append(_rows_dft_belt(plan, Yp).reshape(k, -1))
         else:
-            nmax = int(npr[a - r0: b - r0].max())
-            Lc = _next_fft_len(nmax + nm)
-            n_rows = np.tile(np.asarray(plan.n_dev[a:b]), k)
-            X = _czt_rows_padded(Yp.reshape(k * (b - a), nm), n_rows,
+            nmax, Lc = _cap_czt_shape(plan, a, b)
+            tab = None if tables is None else tables.get((a, b))
+            X = _czt_rows_padded(Yp, np.asarray(plan.n_dev[a:b]),
                                  K=nmax, L=Lc, sign=+1,
                                  cdtype=plan.cdtype,
-                                 block=min(plan.ring_block, 1024))
-            Xr = jnp.real(X).astype(plan.dtype).reshape(k, b - a, nmax)
+                                 block=min(plan.ring_block, 1024),
+                                 tables=tab)
+            Xr = jnp.real(X).astype(plan.dtype)
             segs.append(_seg_gather(plan, Xr, a, b))
     return jnp.concatenate(segs, axis=-1) if len(segs) > 1 else segs[0]
 
@@ -679,17 +696,20 @@ def _correct_seg(plan, s, r0: int, r1: int):
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
-                          prepped=None):
+                          prepped=None, czt_tabs=None):
     """One streaming block as a standalone jitted unit (host-streamed path):
     alm -> (north pixel segment, south segment or None) for ring pairs
     [j0, j1), covariant corrections already applied.  plan here is the full
     plan; prepped (from pallas_legendre_mx.mx_prep) skips the per-block alm
-    stream prep."""
+    stream prep; czt_tabs {(a, b): chirp tables} skips the per-block chirp
+    table construction (plan-static, cached across blocks and planes)."""
     j0, j1 = Jblk_range
     view = _geo_view(plan, j0, j1)
     qN, qS = _legendre_synth_dispatch(view, alm, True, prepped=prepped)
     sN = _streams_from_q(plan, qN[0].T, qN[1].T, qN[2].T)
-    north = _correct_seg(plan, _synth_ring_rows(plan, sN, j0, j1), j0, j1)
+    north = _correct_seg(plan,
+                         _synth_ring_rows(plan, sN, j0, j1, tables=czt_tabs),
+                         j0, j1)
     j1s = min(j1, full_J - 1)
     south = None
     if j1s > j0:
@@ -699,9 +719,55 @@ def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
                              qS[2, :, :njs][:, ::-1].T)
         south = _correct_seg(plan,
                              _synth_ring_rows(plan, sS, nrings - j1s,
-                                              nrings - j0),
+                                              nrings - j0, tables=czt_tabs),
                              nrings - j1s, nrings - j0)
     return north, south
+
+
+_czt_tab_builders = {}
+
+
+def _czt_tables_dev(n, N, K, L, sign, cdtype):
+    """Build chirp tables on device via a shape-keyed jitted builder (the
+    tables must be device values passed as ARGUMENTS — closed-over device
+    arrays become mlir constants, which this runtime cannot fetch)."""
+    key = (N, K, L, sign, str(cdtype))
+    f = _czt_tab_builders.get(key)
+    if f is None:
+        from .czt import czt_tables
+
+        f = jax.jit(lambda nv: czt_tables(nv, N, K, L, sign, cdtype))
+        _czt_tab_builders[key] = f
+    return f(jnp.asarray(n))
+
+
+def _czt_synth_tables(plan, j0: int, j1: int, full_J: int, nrings: int):
+    """Chirp tables for every cap sub-range touched by j-block [j0, j1)
+    (north + south side), cached on the plan across blocks and lens planes.
+    Table rows are padded exactly as _czt_rows_padded pads the rings."""
+    cache = getattr(plan, "_czt_tab_cache", None)
+    if cache is None:
+        cache = plan._czt_tab_cache = {}
+    ranges = list(_ring_subranges(plan, j0, j1))
+    j1s = min(j1, full_J - 1)
+    if j1s > j0:
+        ranges += _ring_subranges(plan, nrings - j1s, nrings - j0)
+    out = {}
+    for a, b in ranges:
+        if plan.npix_ring[a] == plan.P:
+            continue
+        tab = cache.get((a, b))
+        if tab is None:
+            nmax, Lc = _cap_czt_shape(plan, a, b)
+            block = min(plan.ring_block, 1024, b - a)
+            Rp = -(-(b - a) // block) * block
+            n = np.asarray(plan.n_dev[a:b])
+            if Rp != b - a:
+                n = np.concatenate([n, np.full(Rp - (b - a), 4, n.dtype)])
+            tab = _czt_tables_dev(n, plan.nm, nmax, Lc, +1, plan.cdtype)
+            cache[(a, b)] = tab
+        out[(a, b)] = tab
+    return out or None
 
 
 @partial(jax.jit, static_argnums=0, donate_argnums=(1,))
@@ -759,13 +825,20 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     optimization barriers and overlaps the blocks (measured: 8-block
     in-graph streaming still peaks 16.9 GB at NSIDE 4096 vs 15.75 GB HBM).
 
-    Each block is force-synced (scalar fetch — block_until_ready returns
-    early on this runtime) so blocks never overlap in memory; each block's
-    corrected segments are written in place into the single [6, npix]
-    output buffer (donated dynamic_update_slice, _seg_write).
+    Blocks run as a depth-2 pipeline (CALCLENS_SYNTH_PIPELINE, 1 = fully
+    serialized): block b+1 is dispatched BEFORE block b's segments are
+    force-synced (scalar fetch — block_until_ready returns early on this
+    runtime) and written, so the device starts the next block's compute
+    while the host pays the per-block dispatch + write latency (measured
+    ~0.1 s/block at NSIDE 4096).  Peak memory grows only by one block's
+    OUTPUT segments (~0.4 GB at NSIDE 4096), not a second working set —
+    the device executes in order, so only one block's temporaries are ever
+    live.  Segments are written in place into the single [6, npix] output
+    buffer (donated dynamic_update_slice, _seg_write).
     """
     J, nrings = plan.J, plan.nrings
     assert J % nblk == 0, (J, nblk)
+    depth = max(1, int(os.environ.get("CALCLENS_SYNTH_PIPELINE", "2")))
     Jblk = J // nblk
     # Hoist the MX stream prep out of the blocks: with the write-buffer
     # assembly gone (see _assemble) the four [nm_pad, nl_pad] f32 streams
@@ -784,14 +857,28 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
         alm = None
     sp = np.append(plan.startpix[: plan.nrings], plan.npix)
     out = jnp.zeros((6, plan.npix), plan.dtype)
-    for b in range(nblk):
-        j0, j1 = b * Jblk, (b + 1) * Jblk
-        n_seg, s_seg = _synth_block_segments(plan, J, nrings, (j0, j1), alm,
-                                             prepped)
+    pending = []
+
+    def drain(out):
+        j0, j1, n_seg, s_seg = pending.pop(0)
         out = _seg_write(out, _force(n_seg), int(sp[j0]))
         if s_seg is not None:
             j1s = min(j1, J - 1)
             out = _seg_write(out, _force(s_seg), int(sp[nrings - j1s]))
+        return out
+
+    use_tab_cache = os.environ.get("CALCLENS_CZT_CACHE", "0") != "0"
+    for b in range(nblk):
+        j0, j1 = b * Jblk, (b + 1) * Jblk
+        tabs = (_czt_synth_tables(plan, j0, j1, J, nrings)
+                if use_tab_cache else None)
+        n_seg, s_seg = _synth_block_segments(plan, J, nrings, (j0, j1), alm,
+                                             prepped, tabs)
+        pending.append((j0, j1, n_seg, s_seg))
+        while len(pending) >= depth:
+            out = drain(out)
+    while pending:
+        out = drain(out)
     return out
 
 

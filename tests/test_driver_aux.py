@@ -131,3 +131,62 @@ def test_cli_main(tmp_path):
 
     assert main([str(cfgfile)]) == 0
     assert os.path.isdir(os.path.join(cfg.OutputPath, "restart_orbax"))
+
+
+def test_empty_plane_step_is_zero_density_solve():
+    """A plane with no particles must behave exactly like solving the
+    Poisson equation with nothing in it: zeroed per-plane fields and pure
+    geodesic propagation (the reference's explicit zero-particle skip,
+    poissondrivers.c:82-157).  Checked two ways: the dedicated skip path
+    equals a full SHT solve of an all-zero density map (backdens 0), and
+    the driver dispatches to the skip path for an empty particle list."""
+    import jax
+    from calclens_tpu.poisson import (PlaneScalars, empty_plane_step_packed,
+                                      plane_step_density_packed)
+    from calclens_tpu.rays import soa
+
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=2000.0, NumLensPlanes=8,
+        SHTOrder=5, rayOrder=4, bundleOrder=2, Precision="f64",
+    ).finalize()
+    rt = Raytracer(cfg)
+    rt.init_rays()
+    packed0 = np.asarray(rt.rays_packed)
+    dt = rt.dtype
+
+    scal = PlaneScalars(
+        densfact=jnp.asarray(1.7, dt), backdens=jnp.asarray(0.0, dt),
+        wp=jnp.asarray(750.0, dt), wpm1=jnp.asarray(500.0, dt),
+        wpm2=jnp.asarray(250.0, dt))
+
+    out_skip = np.asarray(empty_plane_step_packed(
+        False, jnp.asarray(packed0), scal))
+    zero_density = jnp.zeros(rt.plan.npix, dt)
+    out_zero, _ = plane_step_density_packed(
+        rt.plan, rt.tab, jnp.asarray(packed0), zero_density, False, False,
+        scal)
+    np.testing.assert_allclose(out_skip, np.asarray(out_zero),
+                               rtol=1e-12, atol=1e-12)
+
+    # per-plane field rows are zero; rays actually moved (propagation ran)
+    rays = soa.unpack(jnp.asarray(out_skip))
+    assert np.all(np.asarray(rays.alpha) == 0.0)
+    assert np.all(np.asarray(rays.U) == 0.0)
+    assert np.all(np.asarray(rays.phi) == 0.0)
+    assert not np.allclose(out_skip, packed0)
+
+    # driver dispatch: an empty particle list takes the skip path and
+    # produces the same buffer (same plane scalars via plane_params)
+    from calclens_tpu.driver import plane_params
+    pp = plane_params(cfg, rt.cosmo, 2)
+    scal_p = PlaneScalars(
+        densfact=jnp.asarray(pp.densfact, dt),
+        backdens=jnp.asarray(pp.backdens, dt),
+        wp=jnp.asarray(pp.rad_plus1, dt), wpm1=jnp.asarray(pp.rad, dt),
+        wpm2=jnp.asarray(pp.rad_minus1, dt))
+    ref = np.asarray(empty_plane_step_packed(
+        False, jnp.asarray(packed0), scal_p))
+    rt.rays_packed = jnp.asarray(packed0)
+    rt.step(2, pos=[], mass=[])
+    np.testing.assert_allclose(np.asarray(rt.rays_packed), ref,
+                               rtol=1e-12, atol=1e-12)

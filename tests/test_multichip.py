@@ -223,3 +223,51 @@ def test_sharded_plane_step_order13_northstar():
         n = int(np.prod(dims)) if dims else 0
         big = max(big, n)
     assert big <= npix * 4 // 3, f"all-gather of {big} elements"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_multi_plane_trace_matches_single(tmp_path):
+    """Full multi-plane TRACE on the mesh (not just one step): an 8-plane
+    point-mass run, sharded, must match the single-device trace ray for ray
+    — the ``mpirun -np 8`` vs ``-np 1`` full-run check the reference relies
+    on (SURVEY.md section 4), covering plane-to-plane state carry, per-plane
+    deposit/SHT/interp/prop, and ray-buffer shardings end to end."""
+    from calclens_tpu.config import RayTraceConfig
+    from calclens_tpu.driver import Raytracer
+    from calclens_tpu.testing import pointmass as pm
+
+    cfg = RayTraceConfig(
+        OmegaM=0.3,
+        maxComvDistance=2000.0,
+        NumLensPlanes=8,
+        LensPlanePath=str(tmp_path),
+        LensPlaneName="pmplane",
+        SHTOrder=6,
+        rayOrder=5,
+        bundleOrder=3,
+        partMass=5.0e16,
+        raPointMass=32.0,
+        decPointMass=14.0,
+        radPointMass=625.0,
+        PointMassTest=True,
+        Precision="f64",
+        ComvSmoothingScale=1.0,
+        SmoothingBeamFWHM=0.1,
+    ).finalize()
+    pm.make_pointmass_planes(cfg, snap_to_pixel_order=cfg.SHTOrder)
+
+    rt1 = Raytracer(cfg)
+    rt1.init_rays()
+    for p in range(cfg.NumLensPlanes):
+        rt1.step(p)
+    ref = np.asarray(rt1.rays_packed)
+
+    rt8 = Raytracer(cfg, mesh=make_mesh(8))
+    rt8.init_rays()
+    for p in range(cfg.NumLensPlanes):
+        rt8.step(p)
+    out = np.asarray(rt8.rays_packed)
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-12)

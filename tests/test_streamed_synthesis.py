@@ -63,3 +63,35 @@ def test_auto_blocks():
     assert T._synth_stream_blocks(plan) == 1
     plan.synth_stream = 8
     assert T._synth_stream_blocks(plan) == 8
+
+
+def test_host_streamed_czt_cache_matches(monkeypatch):
+    """CALCLENS_CZT_CACHE=1 (plan-cached chirp tables passed into the block
+    jits) must be bit-identical to the in-graph table build."""
+    monkeypatch.setenv("CALCLENS_CZT_CACHE", "0")
+    plan = SHTPlan(5, dtype=jnp.float64)
+    plan.use_pallas = False
+    alm = _alm(plan, 3)
+    ref = T.alm2allmaps_host_streamed(plan, alm, 4)
+    monkeypatch.setenv("CALCLENS_CZT_CACHE", "1")
+    out = T.alm2allmaps_host_streamed(plan, alm, 4)
+    assert plan._czt_tab_cache  # tables were actually built and cached
+    for a, b in zip(ref, out):
+        sc = np.max(np.abs(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-12 * sc, rtol=1e-12)
+
+
+def test_host_streamed_pipeline_depths_match(monkeypatch):
+    """Depth-1 (fully serialized) and depth-3 pipelines must agree exactly
+    with the default depth-2."""
+    plan = SHTPlan(5, dtype=jnp.float64)
+    plan.use_pallas = False
+    alm = _alm(plan, 4)
+    outs = []
+    for d in ("1", "2", "3"):
+        monkeypatch.setenv("CALCLENS_SYNTH_PIPELINE", d)
+        outs.append(T.alm2allmaps_host_streamed(plan, alm, 4))
+    for o in outs[1:]:
+        for a, b in zip(outs[0], o):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
