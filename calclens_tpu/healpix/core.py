@@ -29,7 +29,8 @@ __all__ = [
     "nest2ring", "ring2nest", "nest2peano", "peano2nest",
     "nest2xyf", "xyf2nest", "ring2xyf", "xyf2ring",
     "ring_info", "RingTable", "build_ring_table",
-    "get_interpol", "query_disc", "neighbors_nest",
+    "get_interpol", "query_disc", "query_disc_tree", "query_disc_fast",
+    "neighbors_nest",
 ]
 
 # base-face row / phi offsets of the 12 HEALPix base pixels (standard tables)
@@ -640,6 +641,61 @@ def query_disc(theta, phi, radius, order, fact=2):
     if not out:
         return np.zeros(0, dtype=np.int64)
     return np.concatenate(out)
+
+
+def query_disc_tree(theta, phi, radius, order):
+    """NEST pixel indices intersecting the disc, via a coarse-to-fine tree
+    walk — the reference's large-radius fast path
+    (healpix_fastdiscquery.c:225-372).  Level-synchronous vectorized form of
+    the explicit cell stack: each level tests all live cells at once.
+
+    Matches the reference's conservatism: a cell whose center lies within
+    radius + 1.362*pi/(4*nside_cell) survives; a cell fully contained
+    (center within radius - cell_diag) emits all its order-``order``
+    descendants wholesale; boundary cells at order-1 emit their 4 children
+    unconditionally (the reference never tests cells AT queryOrder).
+    """
+    assert order >= 1
+    vec0 = np.asarray(ang2vec(theta, phi), np.float64).reshape(3)
+    out = []
+    cur = np.arange(12, dtype=np.int64)
+    for o in range(order):
+        nside = 1 << o
+        rad_in = radius + 1.362 * np.pi / (4.0 * nside)
+        cosr = np.cos(rad_in) if rad_in <= np.pi else -2.0
+        ps = np.sqrt(4.0 * np.pi / order2npix(o))
+        cosns = np.cos(radius - ps) if radius - ps > 0.0 else 2.0
+        cosd = pix2vec_nest(cur, o) @ vec0
+        inside = cosd >= cosns
+        if np.any(inside):
+            shift = 2 * (order - o)
+            base = cur[inside] << shift
+            ndesc = np.int64(1) << shift
+            out.append((base[:, None]
+                        + np.arange(ndesc, dtype=np.int64)[None, :]).ravel())
+        boundary = (cosd >= cosr) & ~inside
+        kids = ((cur[boundary] << 2)[:, None]
+                + np.arange(4, dtype=np.int64)[None, :]).ravel()
+        if o == order - 1:
+            out.append(kids)
+            break
+        cur = kids
+        if cur.size == 0:
+            break
+    if not out:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
+def query_disc_fast(theta, phi, radius, order):
+    """Radius-dispatched inclusive disc query in NEST order (the reference's
+    query_disc_inclusive_nest_fast, healpix_fastdiscquery.c:30-43): the
+    ring-walk for small discs, the tree walk for radius >= 0.5 rad where
+    walking every ring's phi range does redundant work."""
+    if radius < 0.5:
+        return np.unique(ring2nest(query_disc(theta, phi, radius, order),
+                                   order))
+    return query_disc_tree(theta, phi, radius, order)
 
 
 _NB_XOFFSET = np.array([-1, -1, 0, 1, 1, 1, 0, -1], dtype=np.int64)

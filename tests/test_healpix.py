@@ -159,3 +159,38 @@ def test_neighbors_nest_reciprocal():
         for j in nb[i]:
             if j >= 0:
                 assert i in hp.neighbors_nest(np.array([j]), order)[0]
+
+
+def test_query_disc_tree_covers_exact_disc():
+    """The tree walk (healpix_fastdiscquery.c:225-372) must return a
+    superset of all pixels whose centers lie within the radius, and no
+    pixel farther than radius + the inclusive pad."""
+    order = 5
+    npix = int(hp.order2npix(order))
+    allv = hp.pix2vec_nest(np.arange(npix, dtype=np.int64), order)
+    rng = np.random.default_rng(3)
+    for rad in (0.3, 0.6, 1.0, 2.0, 3.0):
+        theta = np.arccos(rng.uniform(-1, 1))
+        phi = rng.uniform(0, 2 * np.pi)
+        got = hp.query_disc_tree(theta, phi, rad, order)
+        v0 = hp.ang2vec(theta, phi)
+        ang = np.arccos(np.clip(allv @ v0, -1, 1))
+        exact = np.flatnonzero(ang <= rad)
+        assert np.all(np.isin(exact, got)), (rad, len(exact), len(got))
+        pad = 1.362 * np.pi / (4 * (1 << (order - 1)))
+        assert np.all(ang[got] <= rad + pad + 2 * np.pi / (4 * (1 << order)))
+
+
+def test_query_disc_fast_dispatch_matches_ring_walk():
+    """Small radii use the ring-walk, large the tree; both must cover the
+    exact disc set (query_disc_inclusive_nest_fast, :30-43)."""
+    order = 5
+    npix = int(hp.order2npix(order))
+    allv = hp.pix2vec_nest(np.arange(npix, dtype=np.int64), order)
+    for rad in (0.2, 0.8):
+        theta, phi = 1.1, 2.2
+        got = hp.query_disc_fast(theta, phi, rad, order)
+        v0 = hp.ang2vec(theta, phi)
+        ang = np.arccos(np.clip(allv @ v0, -1, 1))
+        exact = np.flatnonzero(ang <= rad)
+        assert np.all(np.isin(exact, got)), rad
