@@ -559,15 +559,39 @@ def _rows_dft_belt(plan: SHTPlan, Y):
 
 
 def _seg_gather(plan, X, a: int, b: int):
-    """[k, b-a, P] per-ring values -> packed pixels [k, seg] for rings
-    [a, b) (variable ring lengths; the general cap-range path)."""
+    """[k, b-a, nmax] per-ring values -> packed pixels [k, seg] for the CAP
+    ring range [a, b) (variable ring lengths).
+
+    The ring of each flat pixel is decoded in closed form from the
+    quadratic cap startpix law (north: startpix(r) = 2r(r+1); south
+    mirrored), an f32 sqrt estimate fixed up by exact int32 comparisons —
+    a per-pixel searchsorted here cost ~0.5 s per cap block side at
+    NSIDE 4096, several times the segment's actual FFT+gather work."""
     k = X.shape[0]
-    sp = np.append(plan.startpix[: plan.nrings], plan.npix)[a: b + 1]
-    p0, p1 = int(sp[0]), int(sp[-1])
+    sp_host = np.append(plan.startpix[: plan.nrings], plan.npix)
+    p0, p1 = int(sp_host[a]), int(sp_host[b])
+    nside = 1 << plan.order
+    assert b <= nside - 1 or a >= plan.nrings - (nside - 1), (a, b)
     p = jnp.arange(p1 - p0, dtype=jnp.int32) + jnp.int32(p0)
-    spd = jnp.asarray(sp[:-1], jnp.int32)
-    r = jnp.searchsorted(spd, p, side="right") - 1
-    idx = r * X.shape[-1] + (p - spd[r])
+    if b <= nside - 1:
+        # north cap: largest r with 2r(r+1) <= p
+        r = (jnp.sqrt(0.5 * p.astype(jnp.float32) + 0.25)
+             - 0.5).astype(jnp.int32)
+        r = jnp.where(2 * (r + 1) * (r + 2) <= p, r + 1, r)
+        r = jnp.where(2 * r * (r + 1) > p, r - 1, r)
+        start = 2 * r * (r + 1)
+    else:
+        # south cap: ring-from-south s = smallest s with 2(s+1)(s+2) >= u
+        npix = jnp.int32(plan.npix)
+        u = npix - p
+        s = jnp.ceil(jnp.sqrt(0.5 * u.astype(jnp.float32) + 0.25)
+                     - 1.5).astype(jnp.int32)
+        s = jnp.maximum(s, 0)
+        s = jnp.where(2 * (s + 1) * (s + 2) < u, s + 1, s)
+        s = jnp.where((s >= 1) & (2 * s * (s + 1) >= u), s - 1, s)
+        r = jnp.int32(plan.nrings - 1) - s
+        start = npix - 2 * (s + 1) * (s + 2)
+    idx = (r - jnp.int32(a)) * X.shape[-1] + (p - start)
     return jnp.take(X.reshape(k, (b - a) * X.shape[-1]), idx, axis=-1)
 
 
@@ -620,12 +644,35 @@ def _synth_ring_rows(plan: SHTPlan, S, r0: int, r1: int, tables=None):
     return jnp.concatenate(segs, axis=-1) if len(segs) > 1 else segs[0]
 
 
-def _streams_from_q(plan, qphi, qth, qthth):
-    """The six synthesis streams from the three Legendre kernels
-    (alm2allmaps_transpose_mpi.c:121-131); raw (pre 1/sin corrections)."""
+
+def _streams_from_q_rows(plan, qphi, qth, qthth, sth, cot):
+    """Six COVARIANT-CORRECTED synthesis streams in ring-row space
+    [6, rows, nm] (inputs [rows, nm], m last).
+
+    The reference applies the 1/sin(theta) covariant corrections per PIXEL
+    after the ring DFT (alm2allmaps_transpose_mpi.c:1080-1147).  The ring
+    DFT is linear and the correction factors are constant within a ring, so
+    applying them to the ring ROWS is exact — and replaces a per-pixel
+    searchsorted+gather pass (measured 0.86 s per block side at NSIDE 4096,
+    ~45% of the whole streamed synthesis) with an O(rows*nm) broadcast.
+
+    sth/cot are HOST [rows] arrays for these rows' rings (entries for
+    padding rows, if any, must be 0 — their q rows are zero anyway)."""
     im = (1j * np.asarray(plan.m_f, plan.dtype)).astype(plan.cdtype)[None, :]
     m2 = np.asarray(plan.m_f**2, plan.dtype)[None, :]
-    return jnp.stack([qphi, qth, qphi * im, qthth, qth * im, -(qphi * m2)])
+    with np.errstate(divide="ignore"):
+        inv_np = np.where(np.asarray(sth) > 0, 1.0 / np.asarray(sth), 0.0)
+    inv = jnp.asarray(inv_np, plan.dtype)[:, None]
+    cot = jnp.asarray(np.asarray(cot), plan.dtype)[:, None]
+    gp = qphi * im * inv
+    return jnp.stack([
+        qphi,                               # pot
+        qth,                                # d_theta
+        gp,                                 # d_phi / sin
+        qthth,                              # d_theta_theta
+        qth * im * inv - cot * gp,          # d_theta_phi cov
+        -(qphi * m2) * (inv * inv) + cot * qth,  # d_phi_phi cov
+    ])
 
 
 def _alm2allmaps_streamed(plan: SHTPlan, alm, nblk: int):
@@ -649,8 +696,11 @@ def _alm2allmaps_streamed(plan: SHTPlan, alm, nblk: int):
         alm_b, _ = jax.lax.optimization_barrier((alm, tok))
         qN, qS = _legendre_synth_dispatch(_geo_view(plan, j0, j1), alm_b, True)
         # q [nkern, nm, Jblk] -> ring rows [6 streams, rows, nm] (m last so
-        # the per-m im/m^2 stream factors broadcast on the trailing axis)
-        sN = _streams_from_q(plan, qN[0].T, qN[1].T, qN[2].T)
+        # the per-m im/m^2 stream factors broadcast on the trailing axis);
+        # covariant corrections applied in row space (_streams_from_q_rows)
+        sN = _streams_from_q_rows(plan, qN[0].T, qN[1].T, qN[2].T,
+                                  plan.sth_ring[j0:j1],
+                                  plan.cot_ring[j0:j1])
         north_segs.append(_synth_ring_rows(plan, sN, j0, j1))
         tok = jnp.real(north_segs[-1][0, 0])
         j1s = min(j1, J - 1)  # the equator (j = J-1) has no southern ring
@@ -659,39 +709,18 @@ def _alm2allmaps_streamed(plan: SHTPlan, alm, nblk: int):
             # north/south serialized too: their stream+FFT working sets are
             # each ~1/3 of the block peak
             qS, _ = jax.lax.optimization_barrier((qS, tok))
-            sS = _streams_from_q(plan, qS[0, :, :njs][:, ::-1].T,
-                                 qS[1, :, :njs][:, ::-1].T,
-                                 qS[2, :, :njs][:, ::-1].T)
-            south_segs.append(
-                _synth_ring_rows(plan, sS, nrings - j1s, nrings - j0))
+            r0s, r1s = nrings - j1s, nrings - j0
+            sS = _streams_from_q_rows(plan, qS[0, :, :njs][:, ::-1].T,
+                                      qS[1, :, :njs][:, ::-1].T,
+                                      qS[2, :, :njs][:, ::-1].T,
+                                      plan.sth_ring[r0s:r1s],
+                                      plan.cot_ring[r0s:r1s])
+            south_segs.append(_synth_ring_rows(plan, sS, r0s, r1s))
             tok = tok + jnp.real(south_segs[-1][0, 0])
     s = jnp.concatenate(north_segs + south_segs[::-1], axis=-1)
-    return _apply_covariant_corrections(plan, s)
+    return tuple(s[i] for i in range(6))
 
 
-def _seg_geo(plan, r0: int, r1: int):
-    """(sth, cot) per pixel for the contiguous ring range [r0, r1) —
-    the per-segment form of the covariant-correction factors."""
-    sp = np.append(plan.startpix[: plan.nrings], plan.npix)[r0: r1 + 1]
-    seg = int(sp[-1] - sp[0])
-    p = jnp.arange(seg, dtype=jnp.int32) + jnp.int32(sp[0])
-    spd = jnp.asarray(sp[:-1], jnp.int32)
-    r = jnp.searchsorted(spd, p, side="right") - 1
-    sth = jnp.asarray(plan.sth_ring[r0:r1])[r]
-    cot = jnp.asarray(plan.cot_ring[r0:r1])[r]
-    return sth, cot
-
-
-def _correct_seg(plan, s, r0: int, r1: int):
-    """Covariant corrections on one pixel segment [6, seg]
-    (alm2allmaps_transpose_mpi.c:1080-1147), applied per block so the
-    host-streamed assembly is a bare concatenate."""
-    sth, cot = _seg_geo(plan, r0, r1)
-    gp = s[2] / sth
-    s = s.at[2].set(gp)
-    s = s.at[4].set(s[4] / sth - cot * gp)
-    s = s.at[5].set(s[5] / sth**2 + cot * s[1])
-    return s
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -706,21 +735,20 @@ def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
     j0, j1 = Jblk_range
     view = _geo_view(plan, j0, j1)
     qN, qS = _legendre_synth_dispatch(view, alm, True, prepped=prepped)
-    sN = _streams_from_q(plan, qN[0].T, qN[1].T, qN[2].T)
-    north = _correct_seg(plan,
-                         _synth_ring_rows(plan, sN, j0, j1, tables=czt_tabs),
-                         j0, j1)
+    sN = _streams_from_q_rows(plan, qN[0].T, qN[1].T, qN[2].T,
+                              plan.sth_ring[j0:j1], plan.cot_ring[j0:j1])
+    north = _synth_ring_rows(plan, sN, j0, j1, tables=czt_tabs)
     j1s = min(j1, full_J - 1)
     south = None
     if j1s > j0:
         njs = j1s - j0
-        sS = _streams_from_q(plan, qS[0, :, :njs][:, ::-1].T,
-                             qS[1, :, :njs][:, ::-1].T,
-                             qS[2, :, :njs][:, ::-1].T)
-        south = _correct_seg(plan,
-                             _synth_ring_rows(plan, sS, nrings - j1s,
-                                              nrings - j0, tables=czt_tabs),
-                             nrings - j1s, nrings - j0)
+        r0s, r1s = nrings - j1s, nrings - j0
+        sS = _streams_from_q_rows(plan, qS[0, :, :njs][:, ::-1].T,
+                                  qS[1, :, :njs][:, ::-1].T,
+                                  qS[2, :, :njs][:, ::-1].T,
+                                  plan.sth_ring[r0s:r1s],
+                                  plan.cot_ring[r0s:r1s])
+        south = _synth_ring_rows(plan, sS, r0s, r1s, tables=czt_tabs)
     return north, south
 
 
@@ -769,21 +797,6 @@ def _czt_synth_tables(plan, j0: int, j1: int, full_J: int, nrings: int):
         out[(a, b)] = tab
     return out or None
 
-
-@partial(jax.jit, static_argnums=0, donate_argnums=(1,))
-def _correct_maps(plan, s):
-    """Covariant corrections applied as in-place row updates on the donated
-    [6, npix] buffer (stacking six fresh rows would transiently double the
-    six maps — 9 GB at NSIDE 4096).  Rows: phi, dth, dph_raw, dthth,
-    dthph_raw, dphph_raw -> pot, gt, gp, gtt, gtp, gpp."""
-    sth = plan.rings_to_map(
-        jnp.broadcast_to(plan.sth_ring[:, None], (plan.nrings_pad, plan.P)))
-    cot = plan.rings_to_map(
-        jnp.broadcast_to(plan.cot_ring[:, None], (plan.nrings_pad, plan.P)))
-    s = s.at[2].set(s[2] / sth)
-    s = s.at[4].set(s[4] / sth - cot * s[2])
-    s = s.at[5].set(s[5] / sth**2 + cot * s[1])
-    return s
 
 
 def _force(x):
@@ -882,23 +895,6 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     return out
 
 
-def _apply_covariant_corrections(plan, s):
-    """Six raw synthesized maps [6, npix] -> covariant outputs
-    (alm2allmaps_transpose_mpi.c:1080-1147)."""
-    sth_pix = plan.rings_to_map(
-        jnp.broadcast_to(plan.sth_ring[:, None], (plan.nrings_pad, plan.P))
-    )
-    cot_pix = plan.rings_to_map(
-        jnp.broadcast_to(plan.cot_ring[:, None], (plan.nrings_pad, plan.P))
-    )
-    pot = s[0]
-    gt = s[1]
-    gp = s[2] / sth_pix
-    gtt = s[3]
-    gtp = s[4] / sth_pix - cot_pix * gp
-    gpp = s[5] / sth_pix**2 + cot_pix * gt
-    return pot, gt, gp, gtt, gtp, gpp
-
 
 def alm2allmaps(plan: SHTPlan, alm):
     """alm -> (phi, d_theta, d_phi, d_theta_theta, d_theta_phi, d_phi_phi).
@@ -916,10 +912,17 @@ def alm2allmaps(plan: SHTPlan, alm):
     qth = unfold_pairs(plan, qN[1], qS[1])
     qthth = unfold_pairs(plan, qN[2], qS[2])
 
-    streams = _streams_from_q(plan, qphi, qth, qthth)
+    # covariant corrections applied in ring-row space (exact by linearity
+    # of the ring DFT; replaces the former per-pixel sth/cot correction
+    # maps — 2 x npix-sized gathers)
+    sth = np.zeros(plan.nrings_pad)
+    cot = np.zeros(plan.nrings_pad)
+    sth[: plan.nrings] = np.asarray(plan.sth_ring[: plan.nrings])
+    cot[: plan.nrings] = np.asarray(plan.cot_ring[: plan.nrings])
+    streams = _streams_from_q_rows(plan, qphi, qth, qthth, sth, cot)
     # chunk the six synthesis FFT pipelines in pairs: all six concurrently
     # multiplies peak HBM ~6x (OOM at NSIDE >= 1024 on a 16 GB chip), while
     # lax.map serializes so hard it is ~10x slower
     s = jnp.concatenate([synthesis_rings(plan, streams[i: i + 2])
                          for i in range(0, 6, 2)])
-    return _apply_covariant_corrections(plan, s)
+    return tuple(s[i] for i in range(6))

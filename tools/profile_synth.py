@@ -33,7 +33,9 @@ def force(x):
             if y is not None:
                 force(y)
         return x
-    np.asarray(jax.device_get(jax.lax.slice(x, (0,) * x.ndim, (1,) * x.ndim)))
+    # complex64 cannot cross device->host on axon: fetch the real part
+    np.asarray(jax.device_get(jnp.real(
+        jax.lax.slice(x, (0,) * x.ndim, (1,) * x.ndim)).astype(jnp.float32)))
     return x
 
 
@@ -55,18 +57,21 @@ def main():
           f"Jblk={Jblk} device={jax.devices()[0].platform}")
 
     rng = np.random.default_rng(7)
-    alm_np = (rng.normal(size=(plan.nl, plan.nm))
-              + 1j * rng.normal(size=(plan.nl, plan.nm))).astype(np.complex64)
+    re = rng.normal(size=(plan.nl, plan.nm)).astype(np.float32)
+    im = rng.normal(size=(plan.nl, plan.nm)).astype(np.float32)
+    # complex64 cannot cross host->device on axon: assemble in-graph
+    mk = jax.jit(lambda r, i: (r + 1j * i).astype(plan.cdtype))
+    alm_dev = mk(jnp.asarray(re), jnp.asarray(im))
 
     # --- MX prep (hoisted, as the production path does) ---
     prepped = None
     if T._use_pallas_mx(plan):
         from calclens_tpu.sht import pallas_legendre_mx as MX
         prep = jax.jit(partial(MX.mx_prep, plan.nl, plan.nm, derivs=True))
-        t = timeit(prep, jnp.asarray(alm_np), n=1)
+        t = timeit(prep, alm_dev, n=1)
         print(f"mx_prep: {t:.3f}s")
-        prepped = prep(jnp.asarray(alm_np))
-    alm = None if prepped is not None else jnp.asarray(alm_np)
+        prepped = prep(alm_dev)
+    alm = None if prepped is not None else alm_dev
 
     # representative blocks: first (deep cap), last cap-ish, mid belt, equator
     probe = sorted(set([0, nblk // 2 - 1, nblk // 2, nblk - 1]))
@@ -76,7 +81,8 @@ def main():
 
     @partial(jax.jit, static_argnums=(0, 3, 4))
     def rings_north(pl, qN, tok, j0, j1):
-        sN = T._streams_from_q(pl, qN[0].T, qN[1].T, qN[2].T)
+        sN = T._streams_from_q_rows(pl, qN[0].T, qN[1].T, qN[2].T,
+                                    pl.sth_ring[j0:j1], pl.cot_ring[j0:j1])
         return T._synth_ring_rows(pl, sN, j0, j1)
 
     total_leg = total_ring = total_blk = 0.0
