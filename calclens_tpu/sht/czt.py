@@ -46,12 +46,17 @@ def czt_tables(n, N, K, L, sign, cdtype):
     lens planes."""
     R = n.shape[0]
     tmax = max(N, K)
+    # the convolution reads lags k - j for output k < K and input j < N, so
+    # the kernel needs exactly positions [0, K) (positive lags) and
+    # [L - N + 1, L) (negative lags, v_{-t} = v_t at position L - t); writing
+    # any more (e.g. tmax entries on both sides) silently corrupts needed
+    # lags whenever L is tight and N != K
+    assert L >= N + K - 1, (N, K, L)
     w = _chirp(tmax, n, L, +sign, cdtype)
     v = _chirp(tmax, n, L, -sign, cdtype)
     vc = jnp.zeros((R, L), dtype=cdtype)
-    vc = vc.at[:, :tmax].set(v)
-    # wrap negative lags: v_{-t} = v_t at position L - t
-    vc = vc.at[:, L - tmax + 1:].add(v[:, 1:][:, ::-1])
+    vc = vc.at[:, :K].set(v[:, :K])
+    vc = vc.at[:, L - N + 1:].add(v[:, 1: N][:, ::-1])
     return w, jnp.fft.fft(vc, axis=1)
 
 

@@ -36,6 +36,15 @@ def _pad_rows(n, mult=8):
     return ((n + mult - 1) // mult) * mult
 
 
+def _next_fft_len(n: int) -> int:
+    """Smallest 2^k or 3*2^k >= n (XLA FFT handles both efficiently)."""
+    p2 = 1 << (int(n) - 1).bit_length()
+    p3 = 3 * (1 << max((int(n) - 1) // 3, 1).bit_length())
+    while p3 < n:
+        p3 *= 2
+    return min(p2, p3)
+
+
 class RingStage:
     """Host-built (small) tables + device methods for map <-> ring modes.
 
@@ -95,6 +104,24 @@ class RingStage:
         for b in self.buckets:
             covered.update(b["rows"].tolist())
         assert len(covered) == self.nrings
+
+        # --- analysis buckets: grouped by the padded FFT length needed to
+        # emit ALL nm frequencies directly (the chirp DFT is m-periodic by
+        # construction, so K = nm replaces the per-bucket m-mod-n
+        # replication gather — ~nrings*nm gathered elements).  Rings whose
+        # L = next_fft_len(n + nm - 1) coincides share one chirp-Z call:
+        # small rings all land in the nm-dominated bucket, so the call
+        # count drops to ~3 at lmax = 2*nside (each call has a large fixed
+        # overhead on TPU, docs/TPU_NOTES.md).
+        self.abuckets = []
+        if len(cap_rows):
+            Lkey = np.array([_next_fft_len(int(n) + nm - 1)
+                             for n in self.ringpix[cap_rows]])
+            for L in np.unique(Lkey):
+                sel = cap_rows[Lkey == L]
+                b = self._make_bucket(sel, int(self.ringpix[sel].max()))
+                b["L"] = int(L)
+                self.abuckets.append(b)
 
         # per-ring row base inside the concatenated synthesis output
         base = np.zeros(self.nrings, dtype=np.int64)
@@ -177,28 +204,35 @@ class RingStage:
         p0 = int(self.startpix[self.eq_rows[0]])
         Xe = maps[..., p0: p0 + ne * P].reshape(lead + (ne, P))
         Fh = jnp.fft.rfft(Xe, axis=-1)              # [..., ne, P/2+1]
-        mi = np.arange(nm)
-        lowm = mi <= P // 2
-        idx = np.where(lowm, mi, P - mi).astype(np.int32)
-        Ge = jnp.take(Fh, idx, axis=-1)
-        Ge = jnp.where(np.asarray(lowm), Ge, jnp.conj(Ge))
+        H = P // 2 + 1
+        if nm <= H:
+            # all modes are in the rfft half-spectrum directly (always true
+            # for lmax <= 2*nside): a pure slice, no gather/conj pass
+            Ge = Fh[..., :nm]
+        else:
+            # m in [H, nm) aliases to conj(Fh[P - m]); the sources P - m are
+            # the REVERSED contiguous column range (P - nm, P - H] — a
+            # slice + flip + conj instead of a [ne, nm] gather (gathers run
+            # ~110 M elem/s on TPU, docs/TPU_NOTES.md)
+            assert nm <= P, (nm, P)
+            folded = jnp.conj(jnp.flip(Fh[..., P - nm + 1: P - H + 1],
+                                       axis=-1))
+            Ge = jnp.concatenate([Fh, folded], axis=-1)
 
-        # cap buckets: CZT to n_max freqs, replicate by m mod n.  Leading
-        # (stream) dims are folded into the czt row axis: one big batched FFT
-        # instead of per-stream calls.
+        # cap buckets: one chirp-Z per L-group emitting ALL nm frequencies
+        # directly — the chirp DFT sum is m-periodic with period n by
+        # construction, so no m-mod-n replication gather is needed.
+        # Leading (stream) dims are folded into the czt row axis: one big
+        # batched FFT instead of per-stream calls.
         north_pieces = {}
         south_pieces = {}
-        for k, b in enumerate(self.buckets):
+        for k, b in enumerate(self.abuckets):
             Xb = self._gather_rows(maps, b["start"], b["nmax"], b["n"])
             Xf = Xb.reshape((nlead * b["rows_pad"], b["nmax"]))
             nrow = jnp.tile(jnp.asarray(b["n"]), nlead)
-            Gb = czt(Xf, nrow, K=b["nmax"], L=b["L"], sign=-1,
+            Gb = czt(Xf, nrow, K=nm, L=b["L"], sign=-1,
                      cdtype=self.cdtype)
-            Gb = Gb.reshape(lead + (b["rows_pad"], b["nmax"]))
-            mmod = jnp.mod(jnp.arange(nm, dtype=jnp.int32)[None, :],
-                           jnp.asarray(b["n"], jnp.int32)[:, None])
-            Gb = jnp.take_along_axis(
-                Gb, jnp.broadcast_to(mmod, lead + mmod.shape), axis=-1)
+            Gb = Gb.reshape(lead + (b["rows_pad"], nm))
             # bucket rows = [contiguous north range..., contiguous south
             # range..., padding]; split into the two ring-ordered pieces
             rows = b["rows"]
