@@ -72,6 +72,10 @@ class RayTraceConfig:
     MapRedshiftList: str = ""
     CMBLensing: int = 0
     MaxResMap: int = 0
+    # framework extension: order of the Convergence_/Rays_ lens-map outputs.
+    # -1 = the reference's hardcoded map_order = 11 (raytrace.c:44); small
+    # values keep test/debug runs from writing multi-GB map tables
+    LensMapOrder: int = -1
 
     # point-mass / NFW analytic test parameters (reference raytrace.h fields
     # used by make_lensplanes_pointmass_test)

@@ -579,10 +579,12 @@ class Raytracer:
     def _write_map_outputs(self):
         from . import maps as lm
 
-        accum = lm.LensMapAccum.zeros(lm.DRIVER_MAP_ORDER)
+        order = (lm.DRIVER_MAP_ORDER if self.cfg.LensMapOrder < 0
+                 else self.cfg.LensMapOrder)
+        accum = lm.LensMapAccum.zeros(order)
         accum = lm.update_lens_map(accum, self.rays, jnp.asarray(self.ray_nest),
-                                   self.cfg.rayOrder, lm.DRIVER_MAP_ORDER)
-        return lm.write_map_outputs(accum, lm.DRIVER_MAP_ORDER,
+                                   self.cfg.rayOrder, order)
+        return lm.write_map_outputs(accum, order,
                                     self.cfg.OutputPath or ".", self.map_num)
 
     def run(self, progress=True, start_time=None):

@@ -66,6 +66,9 @@ def _small_cfg(tmp, **kw):
         partMass=5.0e16, raPointMass=32.0, decPointMass=14.0,
         radPointMass=625.0, PointMassTest=True, Precision="f64",
         OutputPath=str(tmp / "out"),
+        # the default lens-map order (11, reference raytrace.c:44) writes a
+        # 2.8 GB Rays_2048 table — minutes of pure disk I/O in a tiny test
+        LensMapOrder=4,
     )
     base.update(kw)
     return RayTraceConfig(**base).finalize()
