@@ -354,14 +354,18 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
 
     @pl.when(lb > lb_act)
     def _fast_blocks():
-        def win(w, _):
-            pp = pp_ref[...]
-            pc = pc_ref[...]
-            k = k_ref[...]
+        # fully unrolled (LB static steps): every alm accumulation lands at
+        # a STATIC sublane offset — the fori_loop version's per-degree
+        # dynamic-sublane read-modify-writes were the main non-arithmetic
+        # cost of the sweep
+        pp = pp_ref[...]
+        pc = pc_ref[...]
+        k = k_ref[...]
+        for w in range(LB // RS):
             corfac = jnp.where(k == 0, 1.0,
                                jnp.where(k == -1, _RESC, 0.0))
             base = w * RS
-            for r in range(RS):  # unrolled; l parity == r parity (RS, LB even)
+            for r in range(RS):  # l parity == r parity (RS, LB even)
                 l_int = lb * LB + base + r
                 a, b = _row_coeffs(l_int.astype(jnp.float32), mf)
                 new = a * (cth * pc - b * pp)
@@ -369,12 +373,12 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
                 pp, pc = pc, new
             big = jnp.maximum(jnp.abs(pc), jnp.abs(pp)) > _TH_BIG
             scale = jnp.where(big, _RESC, 1.0)
-            pp_ref[...] = pp * scale
-            pc_ref[...] = pc * scale
-            k_ref[...] = k + big.astype(jnp.int32)
-            return 0
-
-        jax.lax.fori_loop(0, LB // RS, win, 0)
+            pp = pp * scale
+            pc = pc * scale
+            k = k + big.astype(jnp.int32)
+        pp_ref[...] = pp
+        pc_ref[...] = pc
+        k_ref[...] = k
 
 
 @partial(jax.jit, static_argnums=(0, 7))

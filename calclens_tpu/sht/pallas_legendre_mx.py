@@ -148,14 +148,18 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
 
     @pl.when(lb > lb_act)
     def _fast_blocks():
-        def win(w, _):
-            pp = pp_ref[...]
-            pc = pc_ref[...]
-            k = k_ref[...]
+        # fully unrolled (LB static steps): every p_scr store lands at a
+        # STATIC sublane offset — the fori_loop version's per-degree
+        # dynamic-sublane stores (pl.ds on the second axis) were the main
+        # non-arithmetic cost of the sweep
+        pp = pp_ref[...]
+        pc = pc_ref[...]
+        k = k_ref[...]
+        for w in range(LB // RS):
             corfac = jnp.where(k == 0, 1.0,
                                jnp.where(k == -1, _RESC, 0.0))
             base = w * RS
-            for r in range(RS):  # unrolled
+            for r in range(RS):
                 lf = (lb * LB + base + r).astype(jnp.float32)
                 den = jnp.maximum((lf - mf) * (lf + mf), 1.0)
                 a = jnp.sqrt((2.0 * lf - 1.0) * (2.0 * lf + 1.0) / den)
@@ -163,16 +167,17 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
                 bden = jnp.maximum((2.0 * lf - 3.0) * (2.0 * lf - 1.0), 1.0)
                 b = jnp.sqrt(bnum / bden)
                 new = a * (cth * pc - b * pp)
-                p_scr[:, pl.ds(base + r, 1), :] = (new * corfac)[:, None, :]
+                p_scr[:, base + r: base + r + 1, :] = \
+                    (new * corfac)[:, None, :]
                 pp, pc = pc, new
             big = jnp.maximum(jnp.abs(pc), jnp.abs(pp)) > _TH_BIG
             scale = jnp.where(big, _RESC, 1.0)
-            pp_ref[...] = pp * scale
-            pc_ref[...] = pc * scale
-            k_ref[...] = k + big.astype(jnp.int32)
-            return 0
-
-        jax.lax.fori_loop(0, LB // RS, win, 0)
+            pp = pp * scale
+            pc = pc * scale
+            k = k + big.astype(jnp.int32)
+        pp_ref[...] = pp
+        pc_ref[...] = pc
+        k_ref[...] = k
 
     @pl.when(lb >= lb_act)
     def _compute():
@@ -291,26 +296,34 @@ def mx_prep(nl: int, nm: int, alm, derivs: bool, TM=8, LB=128):
 
 
 def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128,
-                        prepped=None, RS=8):
+                        prepped=None, RS=8, mcut=None):
     """MXU Legendre synthesis: drop-in for transforms.legendre_synthesis.
 
     Returns (qN, qS) each [nkern, nm, J] complex64.  `prepped` (from
-    mx_prep) skips the per-call stream preparation.
-    """
+    mx_prep) skips the per-call stream preparation.  `mcut` (the
+    turning-point cutoff, transforms.m_cutoff) shrinks the kernel grid's m
+    dimension: columns m >= mcut are below f32 significance for every ring
+    of this plan/view, so their rows are zero-filled instead of computed —
+    polar j-blocks of the streamed synthesis skip most of the sweep."""
     nl, nm, J = plan.nl, plan.nm, plan.J
+    nm_eff = nm if mcut is None else min(nm, int(mcut))
     TJ = min(TJ, max(-(-J // 128) * 128, 128))
-    nm_pad = -(-nm // TM) * TM
+    nm_pad = -(-nm_eff // TM) * TM
     J_pad = -(-J // TJ) * TJ
     nl_pad = -(-nl // LB) * LB
     ncol = 16 if derivs else 4
 
     if prepped is None:
         prepped = mx_prep(nl, nm, alm, derivs, TM=TM, LB=LB)
+    if prepped[0].shape[0] > nm_pad:
+        prepped = tuple(x[:nm_pad] for x in prepped)
 
     geo = _geo_rows(plan, J_pad)
     key = (nl_pad, nm_pad, J_pad, LB, TM, TJ, RS)
     c = _synth_mx_raw(key, *prepped, geo, ncol)
-    c = c[:nm, :, :J]  # [nm, ncol, J]
+    c = c[:nm_eff, :, :J]  # [nm_eff, ncol, J]
+    if nm_eff < nm:
+        c = jnp.pad(c, ((0, nm - nm_eff), (0, 0), (0, 0)))
 
     s_m = (1 - 2 * (jnp.arange(nm, dtype=jnp.int32) % 2)).astype(
         jnp.float32)[:, None]

@@ -237,6 +237,48 @@ class _GeoView:
     """Plan-shaped geometry window (see _geo_view)."""
 
 
+def m_cutoff(lmax: int, sth_max: float, nm: int, granularity: int = 512):
+    """Turning-point m cutoff for rings with sin(theta) <= sth_max.
+
+    lambda_lm(theta) is exponentially damped for m > l*sin(theta); above
+    m ~ lmax*sin(theta) + margin every degree l <= lmax is in the damped
+    regime and max_l |lambda_lm| is below f32 significance, so those m
+    columns of the Legendre sweep / ring DFTs can be skipped outright.
+    This is the m-side view of the reference's lmin cutoff
+    (healpix_shtrans.c:533-544) and the libsharp mlim heuristic; the margin
+    is validated directly against the f64 lambda envelope in
+    tests/test_mcut.py.  Rounded up to `granularity` to bound the number of
+    distinct compiled kernel shapes."""
+    mlim = lmax * float(sth_max) + max(100.0, 0.01 * lmax) + 21.0
+    mc = int(np.ceil(mlim)) + 1
+    if mc >= nm:
+        return nm
+    return max(min(nm, -(-mc // granularity) * granularity), 1)
+
+
+def _m_view(plan, mcut: int):
+    """A plan/view clone with the m axis truncated to [0, mcut) — the scan
+    fallback's form of the m cutoff (the Pallas kernels shrink their grid
+    instead).  Cached on the parent object."""
+    views = getattr(plan, "_m_views", None)
+    if views is None:
+        views = plan._m_views = {}
+    v = views.get(mcut)
+    if v is None:
+        v = _GeoView()
+        v.J, v.nl, v.lblock = plan.J, plan.nl, plan.lblock
+        v.dtype, v.cdtype, v.spec = plan.dtype, plan.cdtype, None
+        v.use_pallas = getattr(plan, "use_pallas", None)
+        v.use_pallas_mx = getattr(plan, "use_pallas_mx", None)
+        v.nm = mcut
+        v.m_int, v.m_f = plan.m_int[:mcut], plan.m_f[:mcut]
+        v.cth, v.sth = plan.cth, plan.sth
+        v.cot, v.inv_sth = plan.cot, plan.inv_sth
+        v.ln_sth = plan.ln_sth
+        views[mcut] = v
+    return v
+
+
 def _geo_view(plan: SHTPlan, j0: int, j1: int):
     """A plan-shaped view whose ring-pair geometry is restricted to columns
     [j0, j1) — the unit of the j-blocked streaming synthesis.  Cached on the
@@ -257,6 +299,10 @@ def _geo_view(plan: SHTPlan, j0: int, j1: int):
         v.cth, v.sth = plan.cth[j0:j1], plan.sth[j0:j1]
         v.cot, v.inv_sth = plan.cot[j0:j1], plan.inv_sth[j0:j1]
         v.ln_sth = plan.ln_sth[j0:j1]
+        # turning-point cutoff for this window's rings: m columns beyond it
+        # are skipped by the Legendre dispatch (grid shrink / m-sliced view)
+        v.mcut = m_cutoff(plan.nl - 1, float(np.max(np.asarray(v.sth))),
+                          plan.nm)
         views[(j0, j1)] = v
     return v
 
@@ -452,6 +498,7 @@ def _use_pallas_mx(plan):
 
 
 def _legendre_synth_dispatch(plan, alm, derivs, prepped=None):
+    mcut = getattr(plan, "mcut", None)  # set on j-block views (_geo_view)
     if _use_pallas(plan):
         # MXU-contraction kernel by default (2.2x the VPU kernel at
         # NSIDE 1024: 0.203 s vs 0.452 s measured on v5e); plan.use_pallas_mx
@@ -459,10 +506,16 @@ def _legendre_synth_dispatch(plan, alm, derivs, prepped=None):
         if _use_pallas_mx(plan):
             from . import pallas_legendre_mx as MX
 
-            return MX.synthesis_pallas_mx(plan, alm, derivs, prepped=prepped)
+            return MX.synthesis_pallas_mx(plan, alm, derivs, prepped=prepped,
+                                          mcut=mcut)
         from . import pallas_legendre as PL
 
         return PL.synthesis_pallas(plan, alm, derivs)
+    if mcut is not None and mcut < plan.nm:
+        mv = _m_view(plan, mcut)
+        qN, qS = legendre_synthesis(mv, alm[:, :mcut], derivs)
+        pad = [(0, 0), (0, plan.nm - mcut), (0, 0)]
+        return jnp.pad(qN, pad), jnp.pad(qS, pad)
     return legendre_synthesis(plan, alm, derivs)
 
 
