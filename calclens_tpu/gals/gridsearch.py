@@ -371,6 +371,67 @@ def _search_chunk_device(tab, packed, topk, gvec, grad, tvec, pvec,
                         pvec, wpm1, wpm2)
 
 
+def _dedup_rows_device(hit, ix, iy, tol):
+    """Greedy per-galaxy dedup on device (the _dedup_hits analog): walk each
+    gal's T triangle hits in row order, keep a hit only if it is >= tol away
+    (in ix OR iy) from every previously KEPT hit of the same gal."""
+    G, T = hit.shape
+
+    def per_gal(h, x, y):
+        def body(carry, j):
+            kmask = carry
+            near = kmask & (jnp.abs(x[j] - x) < tol) & (jnp.abs(y[j] - y) < tol)
+            keep_j = h[j] & ~jnp.any(near)
+            return kmask.at[j].set(keep_j), keep_j
+
+        _, keep = jax.lax.scan(body, jnp.zeros(T, bool), jnp.arange(T))
+        return keep
+
+    return jax.vmap(per_gal)(hit, ix, iy)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def _search_images_chunk(tab, packed, topk, maxh, gvec, grad, tvec, pvec,
+                         wpm1, wpm2, tol, ngal_valid):
+    """Fused search + postprocess for one gal chunk, entirely on device:
+    barycentric search, per-gal dedup, static-size hit compaction (maxh
+    slots), image-position A interpolation + parallel transport, ra-dec
+    output — one jit, one small host transfer (the host np.nonzero/healpix
+    postprocess was the 4.6k gals/s bound after the search went on device).
+
+    Returns (count, gi, ra, dec, A_rd[4 comps]); rows >= count are
+    padding.  count can exceed maxh — the caller must then fall back."""
+    from ..healpix import jaxhp
+
+    dtype = packed.dtype
+    hit, ix, iy = _bary_search(tab, topk, packed, jnp.int32(0), gvec, grad,
+                               tvec, pvec, wpm1, wpm2)
+    keep = _dedup_rows_device(hit, ix, iy, tol)
+    G, T = keep.shape
+    keep = keep & (jnp.arange(G)[:, None] < ngal_valid)  # mask pad gals
+
+    flat = keep.reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    (idx,) = jnp.nonzero(flat, size=maxh, fill_value=0)
+    gi = (idx // T).astype(jnp.int32)
+    ixh = ix.reshape(-1)[idx]
+    iyh = iy.reshape(-1)[idx]
+
+    ivec = (gvec[gi] + ixh[:, None] * tvec[gi]
+            + iyh[:, None] * pvec[gi]).astype(dtype)
+    theta, phi = jaxhp.vec2ang(ivec)
+    pix4, wgt4 = jaxhp.get_interpol(tab, theta, phi)
+    cvec4 = jaxhp.pix2vec_ring(pix4, tab.order, dtype=dtype)
+    Aimg = _interp_A_at(ivec, grad[gi], wpm1, wpm2, pix4,
+                        wgt4.astype(dtype), cvec4, packed)
+    # theta-phi -> ra-dec basis (gridsearch.c:800-806)
+    A_rd = jnp.stack([Aimg[:, 1, 1], -Aimg[:, 1, 0],
+                      -Aimg[:, 0, 1], Aimg[:, 0, 0]])
+    ra = jnp.degrees(phi)
+    dec = 90.0 - jnp.degrees(theta)
+    return count, gi, ra, dec, A_rd
+
+
 def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
                        chunk=16384, topk=16):
     """Device-resident find_images for full-sky RING-ordered rays (ray index
@@ -393,50 +454,58 @@ def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
     wpm2j = jnp.asarray(wpm2, dtype)
     tol = 1e-3 * np.sqrt(4.0 * np.pi / tab.npix)
 
-    out_idx, out_ra, out_dec, out_A = [], [], [], []
+    # hit budget per chunk: ~1 image/gal typical in the weak-lensing regime
+    # (shared-edge dups are removed on device before compaction) — the
+    # compaction/interp stages scale with maxh whether slots are used or
+    # not; overflow falls back below
+    maxh = 2 * chunk
+    tolj = jnp.asarray(tol, dtype)
+
+    pend = []  # dispatch every chunk, then fetch (overlaps host & device)
     for i0 in range(0, G, chunk):
         gvec = gvec_all[i0: i0 + chunk]
         grad = grad_all[i0: i0 + chunk]
-        gidx = np.asarray(gal_index)[i0: i0 + chunk]
         Gc = len(gvec)
         if Gc < chunk:  # pad to the compiled chunk shape
             pad = chunk - Gc
             gvec = np.concatenate([gvec, np.tile([[1.0, 0, 0]], (pad, 1))])
             grad = np.concatenate([grad, np.full(pad, wpm1)])
-        hit, ix, iy = _search_chunk_device(
-            tab, packed, topk, jnp.asarray(gvec, dtype),
+        res = _search_images_chunk(
+            tab, packed, topk, maxh, jnp.asarray(gvec, dtype),
             jnp.asarray(grad, dtype), jnp.asarray(_tvec(gvec), dtype),
-            jnp.asarray(_pvec(gvec), dtype), wpm1j, wpm2j)
-        hit = np.array(hit)
-        hit[Gc:] = False
-        gi, ti = np.nonzero(hit)
-        if len(gi) == 0:
-            continue
-        ixh = np.asarray(ix)[gi, ti]
-        iyh = np.asarray(iy)[gi, ti]
-        gi2, ixh, iyh = _dedup_hits(gi, ixh, iyh, tol)
-        tv, pv = _tvec(gvec), _pvec(gvec)
-        ivec = gvec[gi2] + ixh[:, None] * tv[gi2] + iyh[:, None] * pv[gi2]
+            jnp.asarray(_pvec(gvec), dtype), wpm1j, wpm2j, tolj,
+            jnp.int32(Gc))
+        pend.append((i0, res))
 
-        theta, phi = hp.vec2ang(ivec)
-        pix4, wgt4 = hp.get_interpol(theta, phi, cfg.rayOrder)
-        pix4_ring = pix4  # rays stored in RING order: index == pixel
-        cvec4 = hp.pix2vec_ring(pix4_ring.reshape(-1), cfg.rayOrder
-                                ).reshape(-1, 4, 3)
-        Aimg = _interp_A_at(
-            jnp.asarray(ivec, dtype), jnp.asarray(grad[gi2], dtype),
-            wpm1j, wpm2j, jnp.asarray(pix4_ring),
-            jnp.asarray(wgt4, dtype), jnp.asarray(cvec4, dtype), packed)
-        Aimg = np.asarray(Aimg, np.float64)
-        Ard = np.empty_like(Aimg)
-        Ard[:, 0, 0] = Aimg[:, 1, 1]
-        Ard[:, 0, 1] = -Aimg[:, 1, 0]
-        Ard[:, 1, 0] = -Aimg[:, 0, 1]
-        Ard[:, 1, 1] = Aimg[:, 0, 0]
-        ra, dec = hp.vec2radec(ivec)
-        out_idx.append(gidx[gi2])
-        out_ra.append(ra)
-        out_dec.append(dec)
+    out_idx, out_ra, out_dec, out_A = [], [], [], []
+    gal_index = np.asarray(gal_index)
+    fallback_tables = None
+    for i0, (count, gi, ra, dec, A_rd) in pend:
+        n = int(count)
+        if n == 0:
+            continue
+        if n > maxh:  # static hit buffer overflowed: host-postprocess path
+            Gc = min(chunk, G - i0)
+            sl = slice(i0, i0 + Gc)
+            if fallback_tables is None:
+                fallback_tables = GridSearchTables(tab.order)
+            tables = fallback_tables
+            out = find_images(cfg, tables, packed, gal_pos[sl],
+                              gal_index[sl], wpm1, wpm2,
+                              nest2index=tables.ring_of_nest)
+            out_idx.append(out.index)
+            out_ra.append(out.ra)
+            out_dec.append(out.dec)
+            out_A.append(out.A)
+            continue
+        gi_h = np.asarray(gi)[:n]
+        Ah = np.asarray(A_rd, np.float64)[:, :n]
+        Ard = np.empty((n, 2, 2))
+        Ard[:, 0, 0], Ard[:, 0, 1] = Ah[0], Ah[1]
+        Ard[:, 1, 0], Ard[:, 1, 1] = Ah[2], Ah[3]
+        out_idx.append(gal_index[i0 + gi_h])
+        out_ra.append(np.asarray(ra, np.float64)[:n])
+        out_dec.append(np.asarray(dec, np.float64)[:n])
         out_A.append(Ard)
 
     if not out_idx:

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -248,7 +249,8 @@ def synthesis_pallas(plan, alm, derivs: bool, TM=128, TJ=512, LB=256):
 # ---------------------------------------------------------------------------
 
 def _analysis_kernel(nl, LB, TM, TJ, RS,
-                     ere_ref, eim_ref, ore_ref, oim_ref, geo_ref, logc_ref,
+                     mcut_ref, ere_ref, eim_ref, ore_ref, oim_ref, geo_ref,
+                     logc_ref,
                      almre_ref, almim_ref,
                      s0re, s0im, s1re, s1im,
                      pp_ref, pc_ref, k_ref):
@@ -283,8 +285,12 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
     m_vec = (mi * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0))
     mf = m_vec.astype(jnp.float32)
     m_even = (m_vec % 2) == 0
+    # turning-point skip: every m of this tile is beyond the j-tile's
+    # cutoff -> lambda is below f32 significance for all its rings, the
+    # whole (m-tile, j-tile) contribution is zero (transforms.m_cutoff)
+    active = (mi * TM) < mcut_ref[0, ji]
 
-    @pl.when(lb == lb_act)
+    @pl.when((lb == lb_act) & active)
     def _init():
         s0re[...] = jnp.where(m_even, ere_ref[...], ore_ref[...])
         s0im[...] = jnp.where(m_even, eim_ref[...], oim_ref[...])
@@ -302,7 +308,7 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
         almre_ref[i, :] += jnp.sum(lam * src_re, axis=1)
         almim_ref[i, :] += jnp.sum(lam * src_im, axis=1)
 
-    @pl.when(lb == lb_act)
+    @pl.when((lb == lb_act) & active)
     def _seed_block():
         # direct diagonal seed (log2 space; see pallas_legendre_mx)
         log2lam = (logc_ref[:, 0:1] + mf * ln_sth
@@ -352,7 +358,7 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
 
         jax.lax.fori_loop(0, LB, body, 0)
 
-    @pl.when(lb > lb_act)
+    @pl.when((lb > lb_act) & active)
     def _fast_blocks():
         # fully unrolled (LB static steps): every alm accumulation lands at
         # a STATIC sublane offset — the fori_loop version's per-degree
@@ -381,8 +387,14 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
         k_ref[...] = k
 
 
-@partial(jax.jit, static_argnums=(0, 7))
-def _analysis_alm(plan_key, ere, eim, ore, oim, geo, logc, nl):
+@partial(jax.jit, static_argnums=(0, 8), static_argnames=("interpret",))
+def _analysis_alm(plan_key, mcut, ere, eim, ore, oim, geo, logc, nl,
+                  interpret=False):
+    # interpret=True uses the GENERIC Pallas interpreter (not
+    # force_tpu_interpret_mode): alm output blocks are revisited across the
+    # j grid dimension, which real Mosaic handles by re-fetching the block
+    # (validated on hardware, tests/test_mcut.py) but the TPU-simulating
+    # interpreter rejects outright.
     nl_pad, nm_pad, J_pad, LB, TM, TJ, RS = plan_key
     grid = (nm_pad // TM, J_pad // TJ, nl_pad // LB)
     kern = partial(_analysis_kernel, nl, LB, TM, TJ, RS)
@@ -391,7 +403,9 @@ def _analysis_alm(plan_key, ere, eim, ore, oim, geo, logc, nl):
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[eo_spec, eo_spec, eo_spec, eo_spec,
+        interpret=interpret,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  eo_spec, eo_spec, eo_spec, eo_spec,
                   pl.BlockSpec((5, TJ), lambda m, j, lb: (0, j),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((TM, 128), lambda m, j, lb: (m, 0),
@@ -411,7 +425,7 @@ def _analysis_alm(plan_key, ere, eim, ore, oim, geo, logc, nl):
             pltpu.VMEM((TM, TJ), jnp.float32),
             pltpu.VMEM((TM, TJ), jnp.int32),
         ],
-    )(ere, eim, ore, oim, geo, logc)
+    )(mcut, ere, eim, ore, oim, geo, logc)
 
 
 def analysis_pallas(plan, E, O, TM=128, TJ=512, LB=256, RS=8):
@@ -439,8 +453,23 @@ def analysis_pallas(plan, E, O, TM=128, TJ=512, LB=256, RS=8):
         _pad_to(jnp.asarray(plan.ln_sth, jnp.float32), J_pad, 0),
     ])
     logc = jnp.asarray(_logc_table(nm_pad))
+    # per-j-tile turning-point cutoff (transforms.m_cutoff): (m, j) tiles
+    # with every m beyond it are skipped inside the kernel — their lambda
+    # is below f32 significance for all the tile's rings
+    from .transforms import m_cutoff
+
+    sth_host = np.asarray(plan.sth, np.float64)
+    njt = J_pad // TJ
+    mcuts = np.full((1, njt), nm, np.int32)
+    for t in range(njt):
+        rows = sth_host[t * TJ: min((t + 1) * TJ, len(sth_host))]
+        if len(rows):
+            mcuts[0, t] = m_cutoff(nl - 1, float(np.max(rows)), nm,
+                                   granularity=1)
+        else:
+            mcuts[0, t] = 0  # pure padding tile
     key = (nl_pad, nm_pad, J_pad, LB, TM, TJ, RS)
     almre, almim = _analysis_alm(
-        key, prep(jnp.real(E)), prep(jnp.imag(E)),
+        key, jnp.asarray(mcuts), prep(jnp.real(E)), prep(jnp.imag(E)),
         prep(jnp.real(O)), prep(jnp.imag(O)), geo, logc, nl)
     return (almre[:nl, :nm] + 1j * almim[:nl, :nm]).astype(plan.cdtype)

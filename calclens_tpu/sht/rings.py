@@ -105,22 +105,41 @@ class RingStage:
             covered.update(b["rows"].tolist())
         assert len(covered) == self.nrings
 
+        # per-ring sin(theta) (host, closed form) for the turning-point m
+        # cutoff: analysis columns m > m_cutoff(lmax, sth_r) multiply an
+        # underflowed lambda in the Legendre stage, so cap chirp-Zs only
+        # need K = m_cutoff frequencies (margin validated in
+        # tests/test_mcut.py)
+        r1 = rings + 1  # 1-based ring index from the north pole
+        z = np.where(
+            r1 < nside, 1.0 - r1**2 / (3.0 * nside**2),
+            np.where(r1 > 3 * nside,
+                     (4 * nside - r1) ** 2 / (3.0 * nside**2) - 1.0,
+                     4.0 / 3.0 - 2.0 * r1 / (3.0 * nside)))
+        self.sth_allrings = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+
         # --- analysis buckets: grouped by the padded FFT length needed to
-        # emit ALL nm frequencies directly (the chirp DFT is m-periodic by
-        # construction, so K = nm replaces the per-bucket m-mod-n
-        # replication gather — ~nrings*nm gathered elements).  Rings whose
-        # L = next_fft_len(n + nm - 1) coincides share one chirp-Z call:
-        # small rings all land in the nm-dominated bucket, so the call
-        # count drops to ~3 at lmax = 2*nside (each call has a large fixed
-        # overhead on TPU, docs/TPU_NOTES.md).
+        # emit the first K = m_cutoff(lmax, sth) frequencies directly (the
+        # chirp DFT is m-periodic by construction, so direct emission
+        # replaces the per-bucket m-mod-n replication gather — ~nrings*nm
+        # gathered elements — and the cutoff bounds K without error at f32:
+        # the dropped columns face an underflowed lambda).  Rings whose
+        # L = next_fft_len(n + K - 1) coincides share one chirp-Z call
+        # (each call has a large fixed overhead on TPU, docs/TPU_NOTES.md).
         self.abuckets = []
         if len(cap_rows):
-            Lkey = np.array([_next_fft_len(int(n) + nm - 1)
-                             for n in self.ringpix[cap_rows]])
+            from .transforms import m_cutoff
+
+            Kr = np.array([m_cutoff(nm - 1, self.sth_allrings[r], nm,
+                                    granularity=256)
+                           for r in cap_rows])
+            Lkey = np.array([_next_fft_len(int(n) + int(K) - 1)
+                             for n, K in zip(self.ringpix[cap_rows], Kr)])
             for L in np.unique(Lkey):
                 sel = cap_rows[Lkey == L]
                 b = self._make_bucket(sel, int(self.ringpix[sel].max()))
                 b["L"] = int(L)
+                b["K"] = int(Kr[Lkey == L].max())
                 self.abuckets.append(b)
 
         # per-ring row base inside the concatenated synthesis output
@@ -230,9 +249,14 @@ class RingStage:
             Xb = self._gather_rows(maps, b["start"], b["nmax"], b["n"])
             Xf = Xb.reshape((nlead * b["rows_pad"], b["nmax"]))
             nrow = jnp.tile(jnp.asarray(b["n"]), nlead)
-            Gb = czt(Xf, nrow, K=nm, L=b["L"], sign=-1,
+            K = b.get("K", nm)
+            Gb = czt(Xf, nrow, K=K, L=b["L"], sign=-1,
                      cdtype=self.cdtype)
-            Gb = Gb.reshape(lead + (b["rows_pad"], nm))
+            Gb = Gb.reshape(lead + (b["rows_pad"], K))
+            if K < nm:
+                # columns beyond the bucket's turning-point cutoff face an
+                # underflowed lambda downstream: zero-fill, don't compute
+                Gb = jnp.pad(Gb, ((0, 0),) * (Gb.ndim - 1) + ((0, nm - K),))
             # bucket rows = [contiguous north range..., contiguous south
             # range..., padding]; split into the two ring-ordered pieces
             rows = b["rows"]

@@ -649,10 +649,15 @@ def _seg_gather(plan, X, a: int, b: int):
 
 
 def _cap_czt_shape(plan, a: int, b: int):
-    """Static czt shape parameters for the cap ring range [a, b)."""
+    """Static czt shape parameters for the cap ring range [a, b): max ring
+    length, input mode count (turning-point cutoff — columns beyond it are
+    f32 zeros out of the Legendre stage), and padded FFT length."""
     nmax = int(np.asarray(plan.npix_ring[a:b]).max())
-    Lc = _next_fft_len(nmax + plan.nm)
-    return nmax, Lc
+    M = m_cutoff(plan.nl - 1,
+                 float(np.max(np.asarray(plan.sth_ring[a:b]))),
+                 plan.nm, granularity=256)
+    Lc = _next_fft_len(nmax + M)
+    return nmax, M, Lc
 
 
 def _ring_subranges(plan, r0: int, r1: int):
@@ -685,9 +690,9 @@ def _synth_ring_rows(plan: SHTPlan, S, r0: int, r1: int, tables=None):
         if plan.npix_ring[a] == plan.P:
             segs.append(_rows_dft_belt(plan, Yp).reshape(k, -1))
         else:
-            nmax, Lc = _cap_czt_shape(plan, a, b)
+            nmax, M, Lc = _cap_czt_shape(plan, a, b)
             tab = None if tables is None else tables.get((a, b))
-            X = _czt_rows_padded(Yp, np.asarray(plan.n_dev[a:b]),
+            X = _czt_rows_padded(Yp[..., :M], np.asarray(plan.n_dev[a:b]),
                                  K=nmax, L=Lc, sign=+1,
                                  cdtype=plan.cdtype,
                                  block=min(plan.ring_block, 1024),
@@ -839,13 +844,13 @@ def _czt_synth_tables(plan, j0: int, j1: int, full_J: int, nrings: int):
             continue
         tab = cache.get((a, b))
         if tab is None:
-            nmax, Lc = _cap_czt_shape(plan, a, b)
+            nmax, M, Lc = _cap_czt_shape(plan, a, b)
             block = min(plan.ring_block, 1024, b - a)
             Rp = -(-(b - a) // block) * block
             n = np.asarray(plan.n_dev[a:b])
             if Rp != b - a:
                 n = np.concatenate([n, np.full(Rp - (b - a), 4, n.dtype)])
-            tab = _czt_tables_dev(n, plan.nm, nmax, Lc, +1, plan.cdtype)
+            tab = _czt_tables_dev(n, M, nmax, Lc, +1, plan.cdtype)
             cache[(a, b)] = tab
         out[(a, b)] = tab
     return out or None

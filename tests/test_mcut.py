@@ -136,3 +136,70 @@ def test_mx_kernel_mcut_slicing_matches_scan():
         sc = np.max(np.abs(np.asarray(qN_ref[k]))) + 1e-30
         assert np.max(np.abs(np.asarray(qN[k]) - np.asarray(qN_ref[k]))) < 1e-5 * sc
         assert np.max(np.abs(np.asarray(qS[k]) - np.asarray(qS_ref[k]))) < 1e-5 * sc
+
+
+def test_analysis_kernel_mcut_masking_mechanics():
+    """Interpret-mode analysis kernel with a hand-forced per-j-tile cutoff
+    array: skipped (m-tile, j-tile) pairs must contribute exactly zero —
+    equivalent to zeroing those E/O entries in the scan reference.
+
+    Uses the GENERIC Pallas interpreter (interpret=True): the j>0 grid
+    steps revisit earlier alm output blocks, which real Mosaic handles by
+    re-fetching (validated on hardware) but force_tpu_interpret_mode's
+    revisit checker rejects."""
+    from calclens_tpu.sht import pallas_legendre as PL
+
+    plan = SHTPlan(4, dtype=jnp.float32)
+    plan.use_pallas = False
+    rng = np.random.default_rng(11)
+    nm, J, nl = plan.nm, plan.J, plan.nl
+    E = (rng.normal(size=(nm, J)) + 1j * rng.normal(size=(nm, J))
+         ).astype(np.complex64)
+    O = (rng.normal(size=(nm, J)) + 1j * rng.normal(size=(nm, J))
+         ).astype(np.complex64)
+
+    TM, TJ, LB = 8, 16, 16
+    nm_pad = -(-nm // TM) * TM
+    J_pad = -(-J // TJ) * TJ
+    nl_pad = -(-nl // LB) * LB
+    njt = J_pad // TJ
+    # cut tile 0 at m=16, tile 1 fully off, others full
+    mcuts = np.full((1, njt), nm, np.int32)
+    mcuts[0, 0] = 16
+    if njt > 1:
+        mcuts[0, 1] = 0
+
+    def prep(x):
+        out = np.zeros((nm_pad, J_pad), np.float32)
+        out[:nm, :J] = x
+        return jnp.asarray(out)
+
+    geo = jnp.asarray(np.stack([
+        np.pad(np.asarray(plan.cth, np.float32), (0, J_pad - J)),
+        np.pad(np.asarray(plan.sth, np.float32), (0, J_pad - J)),
+        np.pad(np.asarray(plan.cot, np.float32), (0, J_pad - J)),
+        np.pad(np.asarray(plan.inv_sth, np.float32), (0, J_pad - J)),
+        np.pad(np.asarray(plan.ln_sth, np.float32), (0, J_pad - J)),
+    ]))
+    from calclens_tpu.sht.pallas_legendre_mx import _logc_table
+    logc = jnp.asarray(_logc_table(nm_pad))
+    key = (nl_pad, nm_pad, J_pad, LB, TM, TJ, 8)
+    almre, almim = PL._analysis_alm(
+        key, jnp.asarray(mcuts),
+        prep(E.real), prep(E.imag), prep(O.real), prep(O.imag),
+        geo, logc, nl, interpret=True)
+    got = (np.asarray(almre) + 1j * np.asarray(almim))[:nl, :nm]
+
+    # reference: scan path with the same E/O entries masked out
+    Em, Om = E.copy(), O.copy()
+    for t in range(njt):
+        mc = int(mcuts[0, t])
+        j0, j1 = t * TJ, min((t + 1) * TJ, J)
+        # tile skip is at m-tile granularity: tile skipped iff mi*TM >= mc
+        mstart = -(-mc // TM) * TM
+        Em[mstart:, j0:j1] = 0
+        Om[mstart:, j0:j1] = 0
+    ref = np.asarray(T.legendre_analysis(plan, jnp.asarray(Em),
+                                         jnp.asarray(Om)))
+    sc = np.max(np.abs(ref)) + 1e-30
+    assert np.max(np.abs(got - ref)) < 1e-5 * sc
