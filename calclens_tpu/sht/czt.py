@@ -37,43 +37,56 @@ def _chirp(tmax, n, L, sign, cdtype):
     return (jnp.cos(ph) + 1j * jnp.sin(ph)).astype(cdtype)
 
 
-def czt_tables(n, N, K, L, sign, cdtype):
+def czt_tables(n, N, K, L, sign, cdtype, Nk=None):
     """Data-independent chirp tables for rings n [R]: (w [R, tmax], Vf [R, L]).
 
     w is the pre/post-multiply chirp; Vf = FFT_L of the wrapped conjugate
     chirp (the convolution kernel).  Both depend only on (n, shapes), so they
     can be built once per ring set and reused across streams, j-blocks, and
-    lens planes."""
+    lens planes.
+
+    Nk: max input position with NONZERO content + 1 (default N).  Callers
+    whose rows are zero beyond Nk (e.g. the aligned block gather pads rows to
+    a multiple of the block size) can pass Nk < N so the negative-lag kernel
+    coverage — and the L >= Nk + K - 1 requirement — follow the true content
+    width, not the padded buffer width."""
     R = n.shape[0]
+    Nk = N if Nk is None else Nk
     tmax = max(N, K)
-    # the convolution reads lags k - j for output k < K and input j < N, so
-    # the kernel needs exactly positions [0, K) (positive lags) and
-    # [L - N + 1, L) (negative lags, v_{-t} = v_t at position L - t); writing
-    # any more (e.g. tmax entries on both sides) silently corrupts needed
-    # lags whenever L is tight and N != K
-    assert L >= N + K - 1, (N, K, L)
+    # the convolution reads lags k - j for output k < K and nonzero input
+    # j < Nk, so the kernel needs exactly positions [0, K) (positive lags)
+    # and [L - Nk + 1, L) (negative lags, v_{-t} = v_t at position L - t);
+    # writing any more (e.g. tmax entries on both sides) silently corrupts
+    # needed lags whenever L is tight and Nk != K
+    assert L >= Nk + K - 1, (Nk, K, L)
     w = _chirp(tmax, n, L, +sign, cdtype)
     v = _chirp(tmax, n, L, -sign, cdtype)
     vc = jnp.zeros((R, L), dtype=cdtype)
     vc = vc.at[:, :K].set(v[:, :K])
-    vc = vc.at[:, L - N + 1:].add(v[:, 1: N][:, ::-1])
+    vc = vc.at[:, L - Nk + 1:].add(v[:, 1: Nk][:, ::-1])
     return w, jnp.fft.fft(vc, axis=1)
 
 
-def czt(x, n, K, L, sign, cdtype, tables=None):
+def czt(x, n, K, L, sign, cdtype, tables=None, Nk=None):
     """Chirp-Z transform of each row of x.
 
-    x : [..., R, N] complex (or real) input rows; entries at j >= n[r] must
-        be 0.  Leading axes are streams sharing the same rings (and tables).
+    x : [..., R, N] complex (or real) input rows; entries at j >= Nk (or at
+        j >= n[r] when the row is start-aligned) must be 0.  Leading axes
+        are streams sharing the same rings (and tables).  The sum runs over
+        ALL nonzero positions j with the exact e^{s*2i pi jk/n} phase, so a
+        row whose content sits shifted by d pixels evaluates to
+        e^{s*2i pi dk/n} times the unshifted DFT — callers correct the
+        shift with a per-row output phase.
     n : [R] int32 per-row DFT length (the "ring length").
     K : number of output frequencies per row (static).
     sign : +1 evaluates sum_j x_j e^{+2i pi jk/n}, -1 the forward DFT.
     tables : optional precomputed czt_tables(n, N, K, L, sign, cdtype).
+    Nk : see czt_tables.
     Returns [..., R, K] complex.
     """
     N = x.shape[-1]
     if tables is None:
-        tables = czt_tables(n, N, K, L, sign, cdtype)
+        tables = czt_tables(n, N, K, L, sign, cdtype, Nk=Nk)
     w, Vf = tables
     a = jnp.zeros(x.shape[:-1] + (L,), dtype=cdtype)
     a = a.at[..., :N].set(x.astype(cdtype) * w[..., :N])

@@ -126,6 +126,17 @@ class RingStage:
         # the dropped columns face an underflowed lambda).  Rings whose
         # L = next_fft_len(n + K - 1) coincides share one chirp-Z call
         # (each call has a large fixed overhead on TPU, docs/TPU_NOTES.md).
+        # the analysis cap rows are fetched with an ALIGNED BLOCK gather:
+        # row r's pixels live at the contiguous range [startpix_r,
+        # startpix_r + n_r), so gathering whole B-pixel blocks of the map
+        # costs 1/B the gather indices (the ~110 M elem/s gather wall was
+        # ~1.7 s of the NSIDE 4096 analysis); the row content then sits at
+        # offset d_r = startpix_r mod B, which shifts the ring DFT by an
+        # exact per-ring phase e^{-2i pi d m / n} — folded into the phi0
+        # phase table (ashift below) for free.
+        self.B = min(128, 1 << (2 * order + 2))
+        B = self.B
+        assert self.npix % B == 0
         self.abuckets = []
         if len(cap_rows):
             from .transforms import m_cutoff
@@ -133,14 +144,43 @@ class RingStage:
             Kr = np.array([m_cutoff(nm - 1, self.sth_allrings[r], nm,
                                     granularity=256)
                            for r in cap_rows])
-            Lkey = np.array([_next_fft_len(int(n) + int(K) - 1)
+            # +B: the block-gathered content of a row ends at d + n < n + B
+            Lkey = np.array([_next_fft_len(int(n) + B + int(K) - 1)
                              for n, K in zip(self.ringpix[cap_rows], Kr)])
             for L in np.unique(Lkey):
                 sel = cap_rows[Lkey == L]
                 b = self._make_bucket(sel, int(self.ringpix[sel].max()))
                 b["L"] = int(L)
                 b["K"] = int(Kr[Lkey == L].max())
+                b["Nk"] = b["nmax"] + B  # true max content end
+                assert b["L"] >= b["Nk"] + b["K"] - 1, b
+                # aligned block-gather tables
+                nbl = (b["nmax"] - 1) // B + 2
+                b["nbl"] = nbl
+                # czt zero-pads the [rows, nbl*B] input into length L: at
+                # tiny orders the padded block width can exceed the
+                # content-based L (B dominates n + K)
+                b["L"] = max(b["L"], _next_fft_len(nbl * B))
+                bstart = np.zeros(b["rows_pad"], np.int64)
+                bstart[: len(b["rows"])] = self.startpix[b["rows"]] // B
+                bidx = np.minimum(bstart[:, None] + np.arange(nbl)[None, :],
+                                  self.npix // B - 1)
+                b["bidx"] = bidx.astype(np.int64)
+                d = np.zeros(b["rows_pad"], np.int64)
+                d[: len(b["rows"])] = self.startpix[b["rows"]] % B
+                b["d"] = d
                 self.abuckets.append(b)
+
+        # analysis phase table: phi0 shift MINUS the block-gather offset
+        # correction (2*d_r in half-pixel units of pi/n_r); exact int
+        # arithmetic (the m*shift product is reduced mod 2n before the
+        # float conversion, keeping cos/sin arguments small)
+        ash = np.zeros(nrings_pad, dtype=np.int64)
+        ash[: self.nrings] = self.shifted.astype(np.int64)
+        for b in self.abuckets:
+            rows = b["rows"]
+            ash[rows] -= 2 * b["d"][: len(rows)]
+        self.ashift_allrows = ash
 
         # per-ring row base inside the concatenated synthesis output
         base = np.zeros(self.nrings, dtype=np.int64)
@@ -184,6 +224,33 @@ class RingStage:
         sh = jnp.asarray(self.shift_allrows, self.dtype)
         ang = (sign * jnp.pi) * sh[:, None] * m[None, :] / n[:, None]
         return (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(self.cdtype)
+
+    def _phase_analysis(self):
+        """e^{-i pi m (shift - 2 d)/n} [nrings_pad, nm]: the phi0 phase with
+        the block-gather offset correction folded in; the integer m*shift
+        product is reduced mod 2n BEFORE the float conversion so the cos/sin
+        arguments stay small (exact for |shift| < B <= 128, m < 2^24/2B)."""
+        m = jnp.arange(self.nm, dtype=jnp.int64 if jax.config.jax_enable_x64
+                       else jnp.int32)
+        n = jnp.asarray(self.n_allrows, m.dtype)[:, None]
+        sh = jnp.asarray(self.ashift_allrows, m.dtype)[:, None]
+        t = (m[None, :] * sh) % (2 * n)  # non-negative (python mod)
+        ang = (-jnp.pi) * (t.astype(self.dtype) / n.astype(self.dtype))
+        return (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(self.cdtype)
+
+    def _gather_rows_blocked(self, maps, b):
+        """Aligned block-row gather for analysis bucket b: [..., rows_pad,
+        nbl*B] with row r's ring pixels at columns [d_r, d_r + n_r) and
+        zeros elsewhere."""
+        B = self.B
+        mr = maps.reshape(maps.shape[:-1] + (self.npix // B, B))
+        X = jnp.take(mr, jnp.asarray(b["bidx"].reshape(-1)), axis=-2)
+        X = X.reshape(maps.shape[:-1] + (b["rows_pad"], b["nbl"] * B))
+        itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        j = jnp.arange(b["nbl"] * B, dtype=itype)[None, :]
+        d = jnp.asarray(b["d"], itype)[:, None]
+        nn = jnp.asarray(b["n"], itype)[:, None]
+        return jnp.where((j >= d) & (j < d + nn), X, 0)
 
     def _gather_rows(self, maps, start, width, nvec=None):
         """maps[..., npix] -> [..., rows, width] rows starting at start[r]."""
@@ -246,12 +313,12 @@ class RingStage:
         north_pieces = {}
         south_pieces = {}
         for k, b in enumerate(self.abuckets):
-            Xb = self._gather_rows(maps, b["start"], b["nmax"], b["n"])
-            Xf = Xb.reshape((nlead * b["rows_pad"], b["nmax"]))
+            Xb = self._gather_rows_blocked(maps, b)
+            Xf = Xb.reshape((nlead * b["rows_pad"], b["nbl"] * self.B))
             nrow = jnp.tile(jnp.asarray(b["n"]), nlead)
             K = b.get("K", nm)
             Gb = czt(Xf, nrow, K=K, L=b["L"], sign=-1,
-                     cdtype=self.cdtype)
+                     cdtype=self.cdtype, Nk=b["Nk"])
             Gb = Gb.reshape(lead + (b["rows_pad"], K))
             if K < nm:
                 # columns beyond the bucket's turning-point cutoff face an
@@ -289,7 +356,7 @@ class RingStage:
         pad = jnp.zeros(lead + (self.nrings_pad - self.nrings, nm),
                         self.cdtype)
         out = jnp.concatenate([p for _, p in pieces] + [pad], axis=-2)
-        return out * self._phase(-1)
+        return out * self._phase_analysis()
 
     def synthesis_hybrid(self, Q):
         """Q [..., nrings_pad, nm] -> RING map(s) [..., npix] (real).
