@@ -271,7 +271,7 @@ def _dfac_rows(nl, nm):
     return jnp.sqrt(num / den)
 
 
-def mx_prep(nl: int, nm: int, alm, derivs: bool, TM=8, LB=128):
+def mx_prep(nl: int, nm: int, alm, derivs: bool, TM=16, LB=128):
     """alm -> the four padded TRANSPOSED stream arrays [nm_pad, nl_pad]
     (a_re, a_im, h_re, h_im with h = d_{l+1} a_{l+1}).  Split out so the
     host-streamed synthesis preps ONCE instead of once per j-block (~2.3 GB
@@ -295,7 +295,7 @@ def mx_prep(nl: int, nm: int, alm, derivs: bool, TM=8, LB=128):
     return prep(ar), prep(ai), prep(hr), prep(hi)
 
 
-def synthesis_pallas_mx(plan, alm, derivs: bool, TM=8, TJ=512, LB=128,
+def synthesis_pallas_mx(plan, alm, derivs: bool, TM=16, TJ=512, LB=128,
                         prepped=None, RS=8, mcut=None):
     """MXU Legendre synthesis: drop-in for transforms.legendre_synthesis.
 
