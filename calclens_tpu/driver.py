@@ -525,11 +525,21 @@ class Raytracer:
                                 self.current_plane, self.map_num)
 
     def load_restart_orbax(self, path=None):
+        """Resume from an orbax checkpoint saved under ANY device count:
+        the checkpoint stores the global [21, N] array, so a run saved on an
+        8-chip mesh resumes on 1 chip and vice versa — the elasticity the
+        reference's NTasks-pinned restart forbids (restart.c:66-124)."""
         from . import restart as rst
 
         (self.rays_packed, self._ray_nest, self.current_plane,
          self.map_num) = rst.read_restart_orbax(
             path or self.orbax_restart_path(), self.cfg)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel.sharding import AXIS
+
+            self.rays_packed = jax.device_put(
+                self.rays_packed, NamedSharding(self.mesh, P(None, AXIS)))
 
     def load_restart(self, path=None):
         from . import restart as rst
@@ -581,15 +591,24 @@ class Raytracer:
 
         order = (lm.DRIVER_MAP_ORDER if self.cfg.LensMapOrder < 0
                  else self.cfg.LensMapOrder)
-        accum = lm.LensMapAccum.zeros(order)
-        accum = lm.update_lens_map(accum, self.rays, jnp.asarray(self.ray_nest),
-                                   self.cfg.rayOrder, order)
+        # device accumulation: the global [21, N] ray buffer never reaches
+        # the host — only the [7, npix_map] coarse sums do, matching the
+        # reference's per-task updateLensMap + MPI_Reduce (maputils.c:168-192)
+        stacked = lm.accum_lens_map_packed(self.rays_packed, self._ray_nest,
+                                           self.cfg.rayOrder, order,
+                                           mesh=self.mesh)
+        accum = lm.LensMapAccum.from_stacked(stacked)
         return lm.write_map_outputs(accum, order,
                                     self.cfg.OutputPath or ".", self.map_num)
 
-    def run(self, progress=True, start_time=None):
+    def run(self, progress=True, start_time=None, return_rays=False):
         """Full trace loop with map outputs and walltime-pressure restarts
-        (reference raytrace.c:131-371)."""
+        (reference raytrace.c:131-371).
+
+        return_rays=True gathers the final ray buffer to the host as a Rays
+        view — a 21*N*4 B transfer that is prohibitive at production
+        rayOrder (>= 270 GB at order 14); the default leaves rays on device
+        (outputs are written shard-parallel, io/rayio.py)."""
         from .io import rayio
 
         cfg = self.cfg
@@ -628,7 +647,12 @@ class Raytracer:
                 if len(ppos):
                     tgs = time.perf_counter()
                     pp = plane_params(cfg, self.cosmo, p)
-                    if cfg.BornApprx and gs_tab_dev is not None:
+                    if cfg.BornApprx and gs_tab_dev is not None \
+                            and self.mesh is not None:
+                        images = gs.find_images_born_sharded(
+                            cfg, gs_tab_dev, self.rays_packed, ppos, pidx,
+                            pp.rad, pp.rad_minus1, self.mesh)
+                    elif cfg.BornApprx and gs_tab_dev is not None:
                         images = gs.find_images_born(
                             cfg, gs_tab_dev, self.rays_packed, ppos, pidx,
                             pp.rad, pp.rad_minus1)
@@ -683,14 +707,14 @@ class Raytracer:
                 # graceful preemption (raytrace.c:143-149)
                 if cfg.OutputPath:
                     self.save_restart_orbax()
-                return self.rays
+                return self.rays if return_rays else None
         if cfg.OutputPath and cfg.RayOutputName:
             rayio.write_rays_sharded(cfg, self.rays_packed, self._ray_nest,
                                      self.map_num)
         if cfg.OutputPath:
             self.save_restart_orbax()
             self.write_timing()
-        return self.rays
+        return self.rays if return_rays else None
 
     def write_timing(self):
         """Per-plane step times (the reference's timing.0 rows,
@@ -746,6 +770,10 @@ class Raytracer:
             wpm2=jnp.asarray(wpm2, self.dtype))
         self.rays_packed = jax.block_until_ready(
             empty_plane_step_packed(cfg.BornApprx, self.rays_packed, scal))
-        accum = lm.LensMapAccum.zeros(map_order)
-        return lm.update_lens_map(accum, self.rays, jnp.asarray(self.ray_nest),
-                                  cfg.rayOrder, map_order)
+        # device accumulation (no ray-buffer host gather; see
+        # _write_map_outputs) — the reference likewise only reduces the
+        # order-12 map (propagate_to_cmb_from_restart.c:440-492)
+        stacked = lm.accum_lens_map_packed(self.rays_packed, self._ray_nest,
+                                           cfg.rayOrder, map_order,
+                                           mesh=self.mesh)
+        return lm.LensMapAccum.from_stacked(stacked)

@@ -526,19 +526,43 @@ def ray_halo(ray_order: int, n_shards: int) -> int:
     at most 4*nside pixels.  The reference ships whole buffer rays between
     tasks instead (get_buffer_rays, gridsearch.c:99); here the halo is a
     fixed two-sided block exchange like the map interp halo
-    (parallel/halo.py)."""
+    (parallel/halo.py).  When H exceeds one shard block (many shards x low
+    rayOrder) the exchange runs MULTI-HOP (_halo_window) — the full window
+    is always shipped, never truncated (the reference's get_buffer_rays
+    ships whatever the search radius needs)."""
     nside = 1 << ray_order
     nring_w, _ = search_windows(ray_order)
     H = (nring_w + 3) * 4 * nside
-    blk = int(hp.order2npix(ray_order)) // n_shards
-    if H > blk:
-        import warnings
+    npix = int(hp.order2npix(ray_order))
+    # the two-sided window can never usefully exceed the whole sphere
+    return min(H, (npix - npix // n_shards) // 2 + 1)
 
-        warnings.warn(
-            f"gridsearch ray halo truncated: need {H} ray pixels but the "
-            f"shard block is only {blk}; gals near shard edges may lose "
-            f"candidate triangles.  Use fewer shards.", stacklevel=2)
-    return min(H, blk)
+
+def _halo_window(ray_blk, blk: int, H: int, n: int):
+    """Two-sided ray-block window [*, blk + 2H] via ppermute hops.
+
+    Hop h ships each shard's WHOLE block to shard i+h / i-h; the
+    concatenated [nh | self | nh] blocks are then sliced to exactly
+    [base - H, base + blk + H).  For H <= blk only the needed H-pixel
+    slices are shipped (one hop).  Edge shards receive zeros beyond the
+    sphere — those columns are never referenced by valid candidates."""
+    from ..parallel.sharding import AXIS
+
+    if H <= blk:
+        left = jax.lax.ppermute(ray_blk[:, blk - H:], AXIS,
+                                [(i, i + 1) for i in range(n - 1)])
+        right = jax.lax.ppermute(ray_blk[:, :H], AXIS,
+                                 [(i + 1, i) for i in range(n - 1)])
+        return jnp.concatenate([left, ray_blk, right], axis=1)
+    nh = min(-(-H // blk), n - 1)
+    parts_l, parts_r = [], []
+    for h in range(1, nh + 1):
+        parts_l.insert(0, jax.lax.ppermute(
+            ray_blk, AXIS, [(i, i + h) for i in range(n - h)]))
+        parts_r.append(jax.lax.ppermute(
+            ray_blk, AXIS, [(i + h, i) for i in range(n - h)]))
+    win = jnp.concatenate(parts_l + [ray_blk] + parts_r, axis=1)
+    return win[:, nh * blk - H: nh * blk + blk + H]
 
 
 @partial(jax.jit, static_argnames=("tab", "topk", "mesh", "halo"))
@@ -557,11 +581,7 @@ def _search_sharded(tab, topk, mesh, halo, packed, gvec, grad, tvec, pvec,
     H = int(halo)
 
     def body(ray_blk, gv, gr, tv, pv, w1, w2):
-        left = jax.lax.ppermute(ray_blk[:, blk - H:], AXIS,
-                                [(i, i + 1) for i in range(n - 1)])
-        right = jax.lax.ppermute(ray_blk[:, :H], AXIS,
-                                 [(i + 1, i) for i in range(n - 1)])
-        win = jnp.concatenate([left, ray_blk, right], axis=1)
+        win = _halo_window(ray_blk, blk, H, n)
         base = jax.lax.axis_index(AXIS).astype(jnp.int32) * blk - H
         return _bary_search(tab, topk, win, base, gv, gr, tv, pv, w1, w2)
 
@@ -587,11 +607,7 @@ def _interp_A_sharded(mesh, halo, packed, ivec, grad, pix4, wgt4, cvec4,
     H = int(halo)
 
     def body(ray_blk, iv, gr, p4, w4, c4, w1, w2):
-        left = jax.lax.ppermute(ray_blk[:, blk - H:], AXIS,
-                                [(i, i + 1) for i in range(n - 1)])
-        right = jax.lax.ppermute(ray_blk[:, :H], AXIS,
-                                 [(i + 1, i) for i in range(n - 1)])
-        win = jnp.concatenate([left, ray_blk, right], axis=1)
+        win = _halo_window(ray_blk, blk, H, n)
         base = jax.lax.axis_index(AXIS).astype(jnp.int32) * blk - H
         lp4 = jnp.clip(p4 - base, 0, win.shape[1] - 1)
         return _interp_A_at(iv, gr, w1, w2, lp4, w4, c4, win)
@@ -758,6 +774,63 @@ def find_images_born(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
             jnp.asarray(wgt4, dtype), jnp.asarray(cvec4, dtype), packed)
         out.append(np.asarray(Aimg, np.float64))
     Aimg = np.concatenate(out)
+    Ard = np.empty_like(Aimg)
+    Ard[:, 0, 0] = Aimg[:, 1, 1]
+    Ard[:, 0, 1] = -Aimg[:, 1, 0]
+    Ard[:, 1, 0] = -Aimg[:, 0, 1]
+    Ard[:, 1, 1] = Aimg[:, 0, 0]
+    ra, dec = hp.vec2radec(gvec_all)
+    return ImageGals(np.asarray(gal_index, np.int64).copy(), ra, dec, Ard)
+
+
+def find_images_born_sharded(cfg, tab, packed, gal_pos, gal_index, wpm1,
+                             wpm2, mesh, chunk=1 << 18):
+    """Mesh-sharded BORNAPPRX search: the bilinear A interpolation at each
+    galaxy's undeflected position runs through the same ray-halo machinery
+    as the full search's image-A pass (_interp_A_sharded) — rays stay
+    block-sharded, gals are assigned to the shard owning their pixel, and
+    no participant gathers the full ray buffer (the unsharded
+    find_images_born would make GSPMD insert cross-shard gathers).
+    Reference: gridsearch.c:316-414 under BORNAPPRX."""
+    packed_dev = packed if isinstance(packed, jnp.ndarray) else \
+        jnp.asarray(packed)
+    dtype = packed_dev.dtype
+    G = len(gal_pos)
+    if G == 0:
+        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                         np.zeros((0, 2, 2)))
+    ndev = int(mesh.devices.size)
+    N = int(packed_dev.shape[1])
+    blk = N // ndev
+    H = ray_halo(cfg.rayOrder, ndev)
+
+    gal_pos = np.asarray(gal_pos, np.float64)
+    grad_all = np.linalg.norm(gal_pos, axis=1)
+    gvec_all = gal_pos / grad_all[:, None]
+    theta_all, phi_all = hp.vec2ang(gvec_all)
+    pix4_all, wgt4_all = hp.get_interpol(theta_all, phi_all, cfg.rayOrder)
+    owner = np.minimum(
+        hp.ang2pix_ring(theta_all, phi_all, cfg.rayOrder) // blk,
+        ndev - 1).astype(np.int64)
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner, minlength=ndev)
+    rows = _pad_rows(order, counts, ndev, unit=64)
+    src = np.where(rows >= 0, rows, 0).reshape(-1)
+
+    wpm1j = jnp.asarray(wpm1, dtype)
+    wpm2j = jnp.asarray(wpm2, dtype)
+    cvec4 = hp.pix2vec_ring(pix4_all[src].reshape(-1), cfg.rayOrder
+                            ).reshape(-1, 4, 3)
+    Aimg_p = _interp_A_sharded(
+        mesh, H, packed_dev,
+        jnp.asarray(gvec_all[src], dtype), jnp.asarray(grad_all[src], dtype),
+        jnp.asarray(pix4_all[src]), jnp.asarray(wgt4_all[src], dtype),
+        jnp.asarray(cvec4, dtype), wpm1j, wpm2j)
+
+    Aimg = np.empty((G, 2, 2), np.float64)
+    flat_rows = rows.reshape(-1)
+    real = flat_rows >= 0
+    Aimg[flat_rows[real]] = np.asarray(Aimg_p, np.float64)[real]
     Ard = np.empty_like(Aimg)
     Ard[:, 0, 0] = Aimg[:, 1, 1]
     Ard[:, 0, 1] = -Aimg[:, 1, 0]

@@ -124,6 +124,130 @@ def pix2vec_ring_soa(pix, order: int, dtype=jnp.float32):
     return sth * jnp.cos(phi), sth * jnp.sin(phi), z
 
 
+# ----------------------------------------------------------------------------
+# NEST <-> RING on device (int32; valid for order <= 13, npix < 2^31)
+# ----------------------------------------------------------------------------
+
+def _spread_bits32(v):
+    """Bit i of v -> bit 2i (v < 2^15; int32 device analog of
+    core._spread_bits)."""
+    x = v & 0x0000FFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def _compress_bits32(v):
+    """Inverse of _spread_bits32: keep even bits, pack them."""
+    x = v & 0x55555555
+    x = (x | (x >> 1)) & 0x33333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF
+    return x
+
+
+def ring2xyf_dev(pix, order: int):
+    """Device RING pixel -> (x, y, face) (port of core.ring2xyf; int32 —
+    all intermediates < 2^31 for order <= 13)."""
+    nside = 1 << order
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    pix = pix.astype(jnp.int32)
+
+    north = pix < ncap
+    south = pix >= npix - ncap
+
+    iring_n = (1 + _isqrt_dev(1 + 2 * pix)) >> 1
+    iphi_n = pix + 1 - 2 * iring_n * (iring_n - 1)
+    face_n = (iphi_n - 1) // jnp.maximum(iring_n, 1)
+
+    ip = pix - ncap
+    tmp = ip >> (order + 2)
+    iring_e = tmp + nside
+    iphi_e = ip - tmp * 4 * nside + 1
+    kshift_e = (iring_e + nside) & 1
+    ire = iring_e - nside + 1
+    irm = 2 * nside + 2 - ire
+    ifm = (iphi_e - ire // 2 + nside - 1) >> order
+    ifp = (iphi_e - irm // 2 + nside - 1) >> order
+    face_e = jnp.where(ifp == ifm, ifp | 4, jnp.where(ifp < ifm, ifp, ifm + 8))
+
+    ip_s = npix - pix
+    iring_sl = (1 + _isqrt_dev(2 * ip_s - 1)) >> 1
+    iphi_s = 4 * iring_sl + 1 - (ip_s - 2 * iring_sl * (iring_sl - 1))
+    face_s = 8 + (iphi_s - 1) // jnp.maximum(iring_sl, 1)
+    iring_s = 4 * nside - iring_sl
+
+    iring = jnp.where(north, iring_n, jnp.where(south, iring_s, iring_e))
+    iphi = jnp.where(north, iphi_n, jnp.where(south, iphi_s, iphi_e))
+    kshift = jnp.where(north | south, 0, kshift_e)
+    nr = jnp.where(north, iring_n, jnp.where(south, iring_sl, nside))
+    face = jnp.where(north, face_n, jnp.where(south, face_s, face_e))
+
+    jrll = jnp.asarray(hp.JRLL, jnp.int32)[face]
+    jpll = jnp.asarray(hp.JPLL, jnp.int32)[face]
+    irt = iring - jrll * nside + 1
+    ipt = 2 * iphi - jpll * nr - kshift - 1
+    ipt = jnp.where(ipt >= 2 * nside, ipt - 8 * nside, ipt)
+    x = (ipt - irt) >> 1
+    y = (-ipt - irt) >> 1
+    return x, y, face
+
+
+def xyf2ring_dev(x, y, f, order: int):
+    """Device (x, y, face) -> RING pixel (port of core.xyf2ring; int32)."""
+    nside = 1 << order
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    jrll = jnp.asarray(hp.JRLL, jnp.int32)[f]
+    jpll = jnp.asarray(hp.JPLL, jnp.int32)[f]
+
+    jr = jrll * nside - x - y - 1
+    north = jr < nside
+    south = jr > 3 * nside
+
+    nr = jnp.where(north, jr, jnp.where(south, 4 * nside - jr, nside))
+    n_before = jnp.where(
+        north, 2 * nr * (nr - 1),
+        jnp.where(south, npix - 2 * (nr + 1) * nr,
+                  ncap + (jr - nside) * 4 * nside))
+    kshift = jnp.where(north | south, 0, (jr - nside) & 1)
+
+    jp = (jpll * nr + x - y + 1 + kshift) >> 1
+    jp = jnp.where(jp > 4 * nr, jp - 4 * nr, jp)
+    jp = jnp.where(jp < 1, jp + 4 * nr, jp)
+    return n_before + jp - 1
+
+
+def nest2ring_dev(pix, order: int):
+    """Device NEST -> RING (order <= 13)."""
+    pix = pix.astype(jnp.int32)
+    f = pix >> (2 * order)
+    p = pix & ((1 << (2 * order)) - 1)
+    return xyf2ring_dev(_compress_bits32(p), _compress_bits32(p >> 1), f,
+                        order)
+
+
+def ring2nest_dev(pix, order: int):
+    """Device RING -> NEST (order <= 13)."""
+    x, y, f = ring2xyf_dev(pix, order)
+    return (f << (2 * order)) + _spread_bits32(x) + (_spread_bits32(y) << 1)
+
+
+def coarse_nest_from_ring(rpix, ray_order: int, map_order: int):
+    """RING pixel at ray_order -> NEST pixel of its map_order parent
+    (the lens-map NGP pixel, maputils.c:129-165: ray->nest >> 2*dk).
+    Shifting (x, y) before the bit spread keeps every value < 2^15."""
+    assert map_order <= ray_order <= 13
+    k = ray_order - map_order
+    x, y, f = ring2xyf_dev(rpix, ray_order)
+    return ((f << (2 * map_order)) + _spread_bits32(x >> k)
+            + (_spread_bits32(y >> k) << 1))
+
+
 class InterpTables:
     """Device ring tables for get_interpol at a given order."""
 

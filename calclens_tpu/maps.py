@@ -13,6 +13,7 @@ the redshift list to lens-plane numbers.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import numpy as np
@@ -21,6 +22,7 @@ import jax.numpy as jnp
 from scipy.special import hyp2f1
 
 from .healpix import core as hp
+from .healpix import jaxhp
 from .io import fits
 
 DRIVER_MAP_ORDER = 11  # reference raytrace.c map_n_side = 2048
@@ -72,6 +74,15 @@ class LensMapAccum(NamedTuple):
         z = jnp.zeros((npix,), dtype)
         return cls(jnp.zeros((npix,), jnp.int32), z, z, z, z, z, z)
 
+    @classmethod
+    def from_stacked(cls, stacked):
+        """Device-accumulated [7, npix] rows (count, A00, A01, A10, A11,
+        ra, dec) -> host LensMapAccum (the only host transfer of the
+        device lens-map path — coarse-map sized, never ray-buffer sized)."""
+        h = np.asarray(stacked, np.float64)
+        return cls(np.rint(h[0]).astype(np.int32), h[1], h[2], h[3], h[4],
+                   h[5], h[6])
+
 
 def update_lens_map(accum: LensMapAccum, rays, ray_nest, ray_order: int,
                     map_order: int) -> LensMapAccum:
@@ -95,6 +106,105 @@ def update_lens_map(accum: LensMapAccum, rays, ray_nest, ray_order: int,
         ra=accum.ra.at[lpix].add(ra.astype(accum.ra.dtype)),
         dec=accum.dec.at[lpix].add(dec.astype(accum.dec.dtype)),
     )
+
+
+# ----------------------------------------------------------------------------
+# device-resident accumulation (no full ray-buffer host gather)
+#
+# The reference never centralizes rays for lens maps: each task NGP-
+# accumulates its own rays and MPI_Reduce combines the coarse maps
+# (maputils.c:129-192).  The host-gather path above (update_lens_map on the
+# .rays property) is 21*N*4 B of host traffic — >= 270 GB at production
+# rayOrder 14-16.  These functions accumulate on device from the packed
+# f32[21, N] buffer; only the [7, npix_map] result ever reaches the host.
+# ----------------------------------------------------------------------------
+
+def lens_vals_packed(packed):
+    """Packed rays [21, N] -> the seven accumulation rows [7, N]
+    (count, A00, A01, A10, A11, ra, dec) — updateLensMap's per-ray terms
+    (maputils.c:129-165), componentwise."""
+    nx, ny, nz = packed[0], packed[1], packed[2]
+    inv = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    hz = jnp.clip(nz * inv, -1.0, 1.0)
+    theta = jnp.arccos(hz)
+    phi = jnp.arctan2(ny, nx)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    ra = jnp.degrees(phi)
+    dec = 90.0 - jnp.degrees(theta)
+    one = jnp.ones_like(nx)
+    return jnp.stack([one, packed[6], packed[7], packed[8], packed[9],
+                      ra, dec])
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def accum_lens_map_fullsky(packed, ray_order: int, map_order: int,
+                           npix_map: int):
+    """Full-sky single-device accumulation WITHOUT any scatter: ray i sits
+    at RING pixel i (driver init), and in NEST order every map_order parent
+    owns exactly 4^k consecutive children — so a single row-gather into NEST
+    order followed by a reshape-sum replaces the ~25 M elem/s TPU
+    scatter-add (docs/TPU_NOTES.md) with a gather + reduction."""
+    N = packed.shape[1]
+    k = ray_order - map_order
+    perm = jaxhp.nest2ring_dev(jnp.arange(N, dtype=jnp.int32), ray_order)
+    vals = lens_vals_packed(packed)[:, perm]
+    return jnp.sum(vals.reshape(7, npix_map, 1 << (2 * k)), axis=-1)
+
+
+def update_lens_map_stacked(accum7, packed, lpix):
+    """Scatter-add packed rays into the stacked [7, npix_map] accumulator at
+    coarse NEST pixels lpix [N] (general path: cut-sky ray sets)."""
+    return accum7.at[:, lpix].add(lens_vals_packed(packed).astype(
+        accum7.dtype))
+
+
+def accum_lens_map_sharded(packed, ray_order: int, map_order: int, mesh):
+    """Mesh path: each shard scatter-adds its ray block locally, then one
+    reduce-scatter combines the coarse maps — the TPU analog of the
+    reference's per-task updateLensMap + MPI_Reduce (maputils.c:168-192).
+    packed is P(None, AXIS)-sharded; returns [7, npix_map] block-sharded on
+    the last axis.  No participant ever holds the global ray buffer."""
+    from jax.sharding import PartitionSpec as P
+    from .parallel.sharding import AXIS
+
+    npix_map = int(hp.order2npix(map_order))
+    n = mesh.devices.size
+    N = packed.shape[1]
+    assert N % n == 0 and npix_map % n == 0
+
+    def body(pk):
+        i0 = jax.lax.axis_index(AXIS).astype(jnp.int32) * (N // n)
+        rpix = i0 + jnp.arange(N // n, dtype=jnp.int32)
+        lpix = jaxhp.coarse_nest_from_ring(rpix, ray_order, map_order)
+        loc = jnp.zeros((7, npix_map), packed.dtype)
+        loc = loc.at[:, lpix].add(lens_vals_packed(pk))
+        return jax.lax.psum_scatter(loc, AXIS, scatter_dimension=1,
+                                    tiled=True)
+
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P(None, AXIS),
+                               out_specs=P(None, AXIS)),
+                 static_argnums=())
+    return fn(packed)
+
+
+def accum_lens_map_packed(packed, ray_nest, ray_order: int, map_order: int,
+                          mesh=None):
+    """Dispatch: device lens-map accumulation from the packed ray buffer.
+
+    ray_nest None means the full-sky RING-ordered grid (driver init_rays);
+    otherwise it is the host nest-index array of a cut-sky ray set (small).
+    Returns stacked [7, npix_map]; wrap with LensMapAccum.from_stacked for
+    the FITS writers."""
+    npix_map = int(hp.order2npix(map_order))
+    if ray_nest is None and mesh is not None:
+        return accum_lens_map_sharded(packed, ray_order, map_order, mesh)
+    if ray_nest is None:
+        return accum_lens_map_fullsky(packed, ray_order, map_order, npix_map)
+    lpix = (np.asarray(ray_nest, np.int64)
+            >> (2 * (ray_order - map_order))).astype(np.int32)
+    accum7 = jnp.zeros((7, npix_map), packed.dtype)
+    return jax.jit(update_lens_map_stacked)(accum7, packed,
+                                            jnp.asarray(lpix))
 
 
 def _healpix_header(nside):
