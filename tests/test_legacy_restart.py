@@ -22,7 +22,6 @@ from calclens_tpu.healpix import core as hp
 from calclens_tpu.io import legacy_restart as lr
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REFBIN = os.path.join(REPO, "tools", "refbaseline", "build", "raytrace")
 
 
 def _cfg(tmp_path, **kw):
@@ -86,9 +85,7 @@ def _our_cfg_for_refrun(outdir):
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not os.path.exists(REFBIN),
-                    reason="reference baseline binary not built")
-def test_reference_binary_restart_interop(tmp_path):
+def test_reference_binary_restart_interop(tmp_path, refbin):
     """Full interop handshake with the ACTUAL reference binary.
 
     (a) Byte handshake: our exporter's restart.0 passes the reference's own
@@ -134,7 +131,7 @@ def test_reference_binary_restart_interop(tmp_path):
 
     # reference binary resumes at plane 2 (argv[2] > 0 triggers
     # read_restart, main.c:68) and finishes the trace
-    res = subprocess.run([REFBIN, cfgfn, "2"], capture_output=True,
+    res = subprocess.run([refbin, cfgfn, "2"], capture_output=True,
                          text=True, env=env, timeout=1200)
     assert res.returncode == 0, res.stderr[-2000:]
 
