@@ -637,6 +637,7 @@ class Raytracer:
         t_last_restart = t_start
         binL = cfg.maxComvDistance / cfg.NumLensPlanes
         for p in range(self.current_plane, cfg.NumLensPlanes):
+            gal_collect = None
             if gal_pos is not None and len(gal_pos):
                 from .gals import gridsearch as gs
                 from .gals import io as galsio
@@ -661,20 +662,45 @@ class Raytracer:
                             cfg, gs_tab_dev, self.rays_packed, ppos, pidx,
                             pp.rad, pp.rad_minus1, self.mesh)
                     elif gs_tab_dev is not None:
-                        images = gs.find_images_device(
+                        # async (CALCLENS_GALS_ASYNC=0 opts out): the search
+                        # kernels are dispatched now (they read the pre-step
+                        # ray buffer and queue ahead of the plane step on
+                        # the device stream); the small hit transfers are
+                        # collected AFTER the step is dispatched, so the
+                        # gridsearch leaves the critical path (the reference
+                        # serializes it before the Poisson solve,
+                        # raytrace.c:205-241)
+                        import os as _os
+
+                        images = None
+                        gal_collect = gs.find_images_device_async(
                             cfg, gs_tab_dev, self.rays_packed, ppos, pidx,
                             pp.rad, pp.rad_minus1)
+                        if _os.environ.get("CALCLENS_GALS_ASYNC",
+                                           "1") == "0":
+                            images = gal_collect()
+                            gal_collect = None
                     else:
                         images = gs.find_images(
                             cfg, gs_tables, self.rays_packed, ppos,
                             pidx, pp.rad, pp.rad_minus1,
                             nest2index=gs_tables.ring_of_nest)
-                    if cfg.GalOutputName:
+                    if images is not None and cfg.GalOutputName:
                         galsio.write_image_gals(cfg, images, p)
                     if cfg.Profile:
                         self._note_phase(p, "GRIDSEARCH",
                                          time.perf_counter() - tgs)
             self.step(p)
+            if gal_collect is not None:
+                from .gals import io as galsio
+
+                tgs = time.perf_counter()
+                images = gal_collect()
+                if cfg.GalOutputName:
+                    galsio.write_image_gals(cfg, images, p)
+                if cfg.Profile:
+                    self._note_phase(p, "GRIDSEARCH",
+                                     time.perf_counter() - tgs)
             if progress:
                 pp = plane_params(self.cfg, self.cosmo, p)
                 print(

@@ -432,21 +432,26 @@ def _search_images_chunk(tab, packed, topk, maxh, gvec, grad, tvec, pvec,
     return count, gi, ra, dec, A_rd
 
 
-def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
-                       chunk=16384, topk=16):
-    """Device-resident find_images for full-sky RING-ordered rays (ray index
-    == RING pixel, the driver's full-sky storage).  Candidate prep runs on
-    device (the host ang2pix/neighbors/pix2vec per chunk was the 418 gals/s
-    bound); only found hits round-trip to the host.
+def find_images_device_async(cfg, tab, packed, gal_pos, gal_index, wpm1,
+                             wpm2, chunk=16384, topk=16):
+    """Dispatch the device-resident search; returns a zero-arg collect().
+
+    The driver dispatches the search, starts the PLANE STEP's device work,
+    and collects the (small) hit transfers afterwards — taking the grid
+    search off the critical path (the reference serializes gridsearch
+    before the Poisson solve, raytrace.c:205-241; here the search kernels
+    queue ahead of the step on the device stream while the host-side
+    postprocess overlaps with the step's execution).
     """
     from ..healpix import jaxhp
 
     packed = jnp.asarray(packed)
     dtype = packed.dtype
     G = len(gal_pos)
+    empty = ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
+                      np.zeros((0, 2, 2)))
     if G == 0:
-        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
-                         np.zeros((0, 2, 2)))
+        return lambda: empty
     gal_pos = np.asarray(gal_pos, np.float64)
     grad_all = np.linalg.norm(gal_pos, axis=1)
     gvec_all = gal_pos / grad_all[:, None]
@@ -477,14 +482,31 @@ def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
             jnp.int32(Gc))
         pend.append((i0, res))
 
-    out_idx, out_ra, out_dec, out_A = [], [], [], []
     gal_index = np.asarray(gal_index)
+    return lambda: _collect_device_hits(cfg, tab, packed, pend, gal_pos,
+                                        gal_index, wpm1, wpm2, chunk, maxh,
+                                        G, empty)
+
+
+def _collect_device_hits(cfg, tab, packed, pend, gal_pos, gal_index, wpm1,
+                         wpm2, chunk, maxh, G, empty):
+    out_idx, out_ra, out_dec, out_A = [], [], [], []
     fallback_tables = None
     for i0, (count, gi, ra, dec, A_rd) in pend:
         n = int(count)
         if n == 0:
             continue
         if n > maxh:  # static hit buffer overflowed: host-postprocess path
+            if packed.is_deleted():
+                # async driver overlap: the plane step DONATED the pre-step
+                # ray buffer before this rare (>2 images/gal in one chunk)
+                # overflow path needed it again.  Fail loudly rather than
+                # drop images in a strong-lensing field.
+                raise RuntimeError(
+                    f"grid-search hit buffer overflowed ({n} > {maxh}) "
+                    f"after the ray buffer was donated to the plane step; "
+                    f"re-run with CALCLENS_GALS_ASYNC=0 (synchronous "
+                    f"search) or a larger chunk for this field")
             Gc = min(chunk, G - i0)
             sl = slice(i0, i0 + Gc)
             if fallback_tables is None:
@@ -509,10 +531,20 @@ def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
         out_A.append(Ard)
 
     if not out_idx:
-        return ImageGals(np.zeros(0, np.int64), np.zeros(0), np.zeros(0),
-                         np.zeros((0, 2, 2)))
+        return empty
     return ImageGals(np.concatenate(out_idx), np.concatenate(out_ra),
                      np.concatenate(out_dec), np.concatenate(out_A))
+
+
+def find_images_device(cfg, tab, packed, gal_pos, gal_index, wpm1, wpm2,
+                       chunk=16384, topk=16):
+    """Device-resident find_images for full-sky RING-ordered rays (ray index
+    == RING pixel, the driver's full-sky storage).  Candidate prep runs on
+    device (the host ang2pix/neighbors/pix2vec per chunk was the 418 gals/s
+    bound); only found hits round-trip to the host.
+    """
+    return find_images_device_async(cfg, tab, packed, gal_pos, gal_index,
+                                    wpm1, wpm2, chunk=chunk, topk=topk)()
 
 
 # ----------------------------------------------------------------------------

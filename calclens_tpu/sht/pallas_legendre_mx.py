@@ -48,6 +48,18 @@ _RESC = 2.0**-64
 _LOG2E = 1.4426950408889634
 _HALF_LN_4PI = 1.2655121234846454  # 0.5 * ln(4 pi)
 
+# MXU pass count for the stream contraction (overridable for benchmarking):
+# HIGH = bf16x3 (f32-equivalent products), HIGHEST = 6-pass exact f32
+import os as _os
+
+# (Mosaic only lowers DEFAULT and HIGHEST; HIGH raises NotImplementedError.
+# The MXU share of the sweep is ~0.3 s of ~6 s at order 12, so the 6-pass
+# HIGHEST exactness is kept.)
+_MX_PRECISION = {
+    "HIGHEST": jax.lax.Precision.HIGHEST,
+    "DEFAULT": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("CALCLENS_MX_PRECISION", "HIGHEST")]
+
 
 def _logc_table(nm_pad: int) -> np.ndarray:
     """C[m] = 0.5 * ln((2m+1)!!/(2m)!!) replicated to 128 lanes."""
@@ -151,7 +163,10 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
         # fully unrolled (LB static steps): every p_scr store lands at a
         # STATIC sublane offset — the fori_loop version's per-degree
         # dynamic-sublane stores (pl.ds on the second axis) were the main
-        # non-arithmetic cost of the sweep
+        # non-arithmetic cost of the sweep.  (Grouping RS rows into one
+        # [TM, RS, TJ] chunked store was MEASURED SLOWER on v5e: 0.524 s vs
+        # 0.379 s per belt block at order 12 — the stack materializes the
+        # window in registers and spills.)
         pp = pp_ref[...]
         pc = pc_ref[...]
         k = k_ref[...]
@@ -203,13 +218,15 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
             else:
                 S = jnp.concatenate(
                     [a_re, a_im, a_re * sgn_row, a_im * sgn_row], axis=0)
-            # HIGHEST: the summed-by-parts streams (l*a vs d*a+) cancel
-            # by ~1/l after the cot/inv combination — bf16 MXU inputs (the
-            # TPU default) turn that into O(1) error at high l
+            # >= HIGH: the summed-by-parts streams (l*a vs d*a+) cancel
+            # by ~1/l after the cot/inv combination — single-pass bf16 MXU
+            # inputs (the TPU default) turn that into O(1) error at high l.
+            # bf16x3 (HIGH) carries f32-equivalent products at half the
+            # passes of HIGHEST (see _MX_PRECISION benchmark note).
             out_ref[mm] += jax.lax.dot_general(
                 S, p_scr[mm], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_MX_PRECISION)
 
 
 @partial(jax.jit, static_argnums=(0, 6))

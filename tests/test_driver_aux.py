@@ -193,3 +193,51 @@ def test_empty_plane_step_is_zero_density_solve():
     rt.step(2, pos=[], mass=[])
     np.testing.assert_allclose(np.asarray(rt.rays_packed), ref,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_run_with_gals_async_matches_sync(tmp_path, monkeypatch):
+    """The driver's async grid-search overlap (search dispatched before the
+    plane step, hits collected after) must produce the same image catalogs
+    as the synchronous path (CALCLENS_GALS_ASYNC=0)."""
+    from calclens_tpu.gals import io as galsio
+    from calclens_tpu.io import fits as cfits
+
+    rng = np.random.default_rng(23)
+    nsrc = 200
+    g = rng.normal(size=(nsrc, 3))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    rad = rng.uniform(300.0, 1900.0, nsrc)
+    gpath = tmp_path / "gals.fit"
+    galsio.write_source_gals(str(gpath), g * rad[:, None])
+    glist = tmp_path / "gals.txt"
+    glist.write_text(str(gpath) + "\n")
+
+    def run_mode(sub, async_flag):
+        out = tmp_path / sub
+        cfg = _small_cfg(tmp_path, OutputPath=str(out),
+                         GalsFileList=str(glist), GalOutputName="gal_",
+                         minRa=0.0, maxRa=360.0, minDec=-90.0, maxDec=90.0)
+        pm.make_pointmass_planes(cfg, snap_to_pixel_order=cfg.SHTOrder)
+        monkeypatch.setenv("CALCLENS_GALS_ASYNC", async_flag)
+        rt = Raytracer(cfg)
+        rt.run(progress=False)
+        rows = {}
+        for f in sorted(os.listdir(out)):
+            if f.startswith("gal_"):
+                for hdr, data in cfits.read_fits(os.path.join(out, f))[1:]:
+                    rows[f] = data
+        return rows
+
+    a = run_mode("outA", "1")
+    s = run_mode("outS", "0")
+    assert set(a) == set(s) and len(a) > 0
+    total = 0
+    for f in a:
+        oa = np.lexsort((a[f]["ra"], a[f]["index"]))
+        ob = np.lexsort((s[f]["ra"], s[f]["index"]))
+        for c in ("index", "ra", "dec", "A00", "A01", "A10", "A11"):
+            np.testing.assert_allclose(np.asarray(a[f][c])[oa],
+                                       np.asarray(s[f][c])[ob],
+                                       rtol=0, atol=1e-12, err_msg=c)
+        total += len(a[f]["index"])
+    assert total >= nsrc * 0.9  # nearly every source imaged once

@@ -29,7 +29,10 @@ from calclens_tpu.sht import transforms as T
 def force(x):
     if isinstance(x, (tuple, list)):
         return [force(v) for v in x]
-    return T._force(x)
+    # complex64 cannot cross device->host on this runtime: reduce to a real
+    # scalar inside jit before fetching (docs/TPU_NOTES.md)
+    s = jnp.abs(jax.lax.slice(x, (0,) * x.ndim, (1,) * x.ndim))
+    return float(jnp.real(jnp.sum(s)))
 
 
 def timeit(fn, *args, n=3, warm=1):
