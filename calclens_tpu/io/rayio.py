@@ -107,6 +107,86 @@ def _ray_path(cfg, map_num, fileNum):
 
 
 # ----------------------------------------------------------------------------
+# binary (non-FITS) container — file_write_rays2bin (rayio.c:828-1046)
+# ----------------------------------------------------------------------------
+#
+# Record stream, each block framed by int32 markers (the reference leaves the
+# opening markers uninitialized and sets only the final one to
+# NumRaysInFile*recsize; we write every marker as its block's byte count, the
+# Fortran-unformatted convention its layout mimics — readers of either file
+# skip 4 bytes regardless):
+#   [i4] IOheader{NumFiles i8, PeanoCellHEALPixOrder i8, RayHEALPixOrder i8,
+#                 flag_defl i8, flag_phi i8, pad to 256 B} [i4]
+#   [i4] NumRaysInPeanoCell   i8[NbundleCells] [i4]
+#   [i4] StartRaysInPeanoCell i8[NbundleCells] [i4]
+#   [i4] packed ray records (same fields/order as the FITS bintable) [i4]
+
+_BIN_HEADER_BYTES = 256
+
+
+def _bin_header(cfg, nfiles):
+    hdr = np.zeros(_BIN_HEADER_BYTES, np.uint8)
+    hdr[:40] = np.frombuffer(
+        np.array([nfiles, cfg.bundleOrder, cfg.rayOrder,
+                  int(bool(cfg.OutputRayDeflections)),
+                  int(bool(cfg.OutputPhi))], "<i8").tobytes(), np.uint8)
+    return hdr.tobytes()
+
+
+def _marker(nbytes):
+    return np.array([nbytes], "<i4").tobytes()
+
+
+def _write_bin_file(path, cfg, nfiles, fc, start, rec):
+    with open(path, "wb") as fp:
+        hdr = _bin_header(cfg, nfiles)
+        fp.write(_marker(len(hdr)) + hdr + _marker(len(hdr)))
+        for arr in (fc, start):
+            b = np.asarray(arr, "<i8").tobytes()
+            fp.write(_marker(len(b)) + b + _marker(len(b)))
+        b = rec.tobytes()
+        fp.write(_marker(len(b)) + b + _marker(len(b)))
+
+
+def read_rays_bin(path):
+    """Read one binary ray file -> (header dict, NumRaysInPeanoCell,
+    StartRaysInPeanoCell, structured row array) — mirror of read_rays."""
+    with open(path, "rb") as fp:
+        raw = fp.read()
+    off = 4
+    nf, bo, ro, fd, fph = np.frombuffer(raw[off: off + 40], "<i8")
+    hdr = {"NumFiles": int(nf), "PeanoCellHEALPixOrder": int(bo),
+           "RayHEALPixOrder": int(ro), "flag_defl": int(fd),
+           "flag_phi": int(fph)}
+    off += _BIN_HEADER_BYTES + 8
+    nbc = int(hp.order2npix(bo))
+    counts = np.frombuffer(raw[off: off + 8 * nbc], "<i8")
+    off += 8 * nbc + 8
+    starts = np.frombuffer(raw[off: off + 8 * nbc], "<i8")
+    off += 8 * nbc + 8
+    fields = [("nest", "<i8"), ("ra", "<f8"), ("dec", "<f8"),
+              ("A00", "<f8"), ("A01", "<f8"), ("A10", "<f8"), ("A11", "<f8")]
+    if fd:
+        fields += [("alpha0", "<f8"), ("alpha1", "<f8")]
+    if fph:
+        fields += [("phi", "<f8")]
+    dt = np.dtype(fields)
+    nrows = int(counts.sum())
+    rec = np.frombuffer(raw[off: off + nrows * dt.itemsize], dt)
+    return hdr, counts, starts, rec
+
+
+def _emit_ray_file(cfg, path, nfiles, fc, start, rec):
+    """Write one output file in cfg.RayOutputFormat ('fits' | 'bin')."""
+    if cfg.RayOutputFormat.lower() in ("bin", "binary"):
+        _write_bin_file(path, cfg, nfiles, fc, start, rec)
+    else:
+        prim = fits.image_hdu(np.concatenate([fc, start]),
+                              header=_file_header(cfg, nfiles))
+        fits.write_fits(path, [prim, fits.bintable_hdu(rec, name="Rays")])
+
+
+# ----------------------------------------------------------------------------
 # host-side writer (unpacked pytree)
 # ----------------------------------------------------------------------------
 
@@ -147,11 +227,8 @@ def write_rays(cfg, rays, ray_nest, map_num=0):
                         A[rows, 0, 0], A[rows, 0, 1],
                         A[rows, 1, 0], A[rows, 1, 1],
                         alpha[rows, 0], alpha[rows, 1], phi[rows])
-        prim = fits.image_hdu(np.concatenate([fc, start]),
-                              header=_file_header(cfg, nfiles))
-        tbl = fits.bintable_hdu(rec, name="Rays")
         path = _ray_path(cfg, map_num, fileNum)
-        fits.write_fits(path, [prim, tbl])
+        _emit_ray_file(cfg, path, nfiles, fc, start, rec)
         paths.append(path)
         row0 += nrows
     return paths
@@ -245,11 +322,8 @@ def write_rays_sharded(cfg, rays_packed, ray_nest=None, map_num=0):
             np.float64)
         rec = _make_rec(cfg, nest_f, blk[0:3].T, blk[3], blk[4], blk[5],
                         blk[6], blk[7], blk[8], blk[9])
-        prim = fits.image_hdu(np.concatenate([fc, start]),
-                              header=_file_header(cfg, nfiles))
-        tbl = fits.bintable_hdu(rec, name="Rays")
         path = _ray_path(cfg, map_num, fileNum)
-        fits.write_fits(path, [prim, tbl])
+        _emit_ray_file(cfg, path, nfiles, fc, start, rec)
         paths.append(path)
     return paths
 

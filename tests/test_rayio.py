@@ -223,3 +223,73 @@ def test_written_A_is_observer_frame(tmp_path):
     np.testing.assert_allclose(rows["A11"], 1.0, atol=1e-12)
     np.testing.assert_allclose(rows["A01"], 0.0, atol=1e-12)
     np.testing.assert_allclose(rows["A10"], 0.0, atol=1e-12)
+
+
+def test_binary_ray_output_roundtrip(tmp_path):
+    """RayOutputFormat=bin writes the reference's raw container
+    (file_write_rays2bin, rayio.c:828-1046): int32-framed 256-byte header,
+    the two int64 layout arrays, then the packed ray records.  Content must
+    match the FITS writer row for row."""
+    mk = lambda fmt, sub: RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=1000.0, NumLensPlanes=4,
+        rayOrder=4, bundleOrder=2, SHTOrder=4,
+        OutputPath=str(tmp_path / sub), RayOutputName="ray_",
+        NumRayOutputFiles=2, OutputRayDeflections=True, OutputPhi=True,
+        RayOutputFormat=fmt,
+    ).finalize()
+    cfg_b, cfg_f = mk("bin", "b"), mk("fits", "f")
+    rays, nest = _make_rays(cfg_b.rayOrder)
+    paths_b = rayio.write_rays(cfg_b, rays, nest)
+    paths_f = rayio.write_rays(cfg_f, rays, nest)
+    assert len(paths_b) == 2
+
+    for pb, pf in zip(paths_b, paths_f):
+        hdr, num, start, rows = rayio.read_rays_bin(pb)
+        assert hdr["NumFiles"] == 2
+        assert hdr["PeanoCellHEALPixOrder"] == cfg_b.bundleOrder
+        assert hdr["RayHEALPixOrder"] == cfg_b.rayOrder
+        assert hdr["flag_defl"] == 1 and hdr["flag_phi"] == 1
+        hdrf, numf, startf, rowsf = rayio.read_rays(pf)
+        np.testing.assert_array_equal(num, numf)
+        np.testing.assert_array_equal(start, startf)
+        assert rows.dtype.names == tuple(rowsf.dtype.names)
+        for name in rows.dtype.names:
+            np.testing.assert_array_equal(rows[name], rowsf[name])
+
+    # framing: every marker carries its block's byte count
+    import struct
+    with open(paths_b[0], "rb") as fp:
+        raw = fp.read()
+    m0 = struct.unpack("<i", raw[:4])[0]
+    assert m0 == 256
+    assert struct.unpack("<i", raw[4 + m0: 8 + m0])[0] == m0
+    nbc = int(hp.order2npix(cfg_b.bundleOrder))
+    off = 8 + m0
+    for _ in range(2):
+        m = struct.unpack("<i", raw[off: off + 4])[0]
+        assert m == 8 * nbc
+        off += 8 + m
+    mrec = struct.unpack("<i", raw[off: off + 4])[0]
+    assert mrec == rows.dtype.itemsize * int(num.sum())
+    assert len(raw) == off + 8 + mrec
+
+
+def test_binary_ray_output_sharded_matches_host(tmp_path):
+    cfg = RayTraceConfig(
+        OmegaM=0.3, maxComvDistance=1000.0, NumLensPlanes=4,
+        rayOrder=4, bundleOrder=2, SHTOrder=4,
+        OutputPath=str(tmp_path / "s"), RayOutputName="ray_",
+        NumRayOutputFiles=2, RayOutputFormat="bin", Precision="f32",
+    ).finalize()
+    rays, nest, packed = _ring_order_rays(cfg)
+    paths_s = rayio.write_rays_sharded(cfg, packed, None)
+    cfg_h = dataclasses.replace(cfg, OutputPath=str(tmp_path / "h")).finalize()
+    paths_h = rayio.write_rays(cfg_h, rays, nest)
+    for ps, ph in zip(paths_s, paths_h):
+        hdr_s, num_s, start_s, rows_s = rayio.read_rays_bin(ps)
+        hdr_h, num_h, start_h, rows_h = rayio.read_rays_bin(ph)
+        np.testing.assert_array_equal(num_s, num_h)
+        np.testing.assert_array_equal(rows_s["nest"], rows_h["nest"])
+        for name in ("ra", "dec", "A00", "A01", "A10", "A11"):
+            np.testing.assert_allclose(rows_s[name], rows_h[name],
+                                       atol=2e-5, rtol=2e-5)
