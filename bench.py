@@ -39,9 +39,12 @@ from calclens_tpu.driver import Raytracer
 
 # Measured single-core reference step times (s/plane), 12.6M rays (rayOrder
 # 10), 2M particles, gcc -O3 -march=native (tools/refbaseline; BASELINE.md).
-# Orders without a measurement extrapolate the SHT part as lmax^3 from the
-# nearest measured order (SHT+shuffle dominate: 94% of the step at 1024).
-REF_MEASURED_STEP_S = {10: 233.8}  # order -> s/plane (1 core)
+# Two anchor points: order 10 (NSIDE 1024, 233.8 s) and order 11 (NSIDE
+# 2048, 2179.5 s — timing.0 row, 2026-08-19).  The measured order-to-order
+# ratio is 9.32x, ABOVE the pure-lmax^3 8x (the peano<->ring shuffles scale
+# with npix on top of the transform), so extrapolating the SHT share as
+# lmax^3 from the NEAREST measured order is conservative for vs_baseline.
+REF_MEASURED_STEP_S = {10: 233.8, 11: 2179.5}  # order -> s/plane (1 core)
 REF_CLUSTER_CORES = 128  # README.md:118-120 recommended allocation
 
 
@@ -50,7 +53,8 @@ def reference_step_seconds(sht_order: int) -> float:
         return REF_MEASURED_STEP_S[sht_order]
     base = max(REF_MEASURED_STEP_S)
     t = REF_MEASURED_STEP_S[base]
-    sht_share = 0.94 * t  # SHT+SHTSolve+MapShuffle share at order 10
+    # non-SHT remainder at order 11: PartIO 1.69 + RayProp 2.36 + init 2.37
+    sht_share = 0.997 * t if base >= 11 else 0.94 * t
     other = t - sht_share
     return sht_share * 8.0 ** (sht_order - base) + other
 

@@ -888,6 +888,21 @@ def _seg_write(buf, seg, col0: int):
     return f(buf, seg, jnp.int32(col0))
 
 
+def _seg_write_pair(buf, n_seg, s_seg, col_n: int, col_s: int):
+    """Write a block's north+south segments in ONE dispatch.  On the axon
+    runtime every jit dispatch costs a tunnel round-trip (~30-40 ms); the
+    per-block host cost of the streamed synthesis is RTT-bound, so fusing
+    the two segment writes halves it."""
+    key = (n_seg.shape[-1], s_seg.shape[-1])
+    f = _seg_write_jits.get(key)
+    if f is None:
+        f = jax.jit(lambda b, sn, ss, i, j: jax.lax.dynamic_update_slice(
+            jax.lax.dynamic_update_slice(b, sn, (jnp.int32(0), i)),
+            ss, (jnp.int32(0), j)), donate_argnums=(0,))
+        _seg_write_jits[key] = f
+    return f(buf, n_seg, s_seg, jnp.int32(col_n), jnp.int32(col_s))
+
+
 def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     """Host-level streamed synthesis: one jit call per j-block, so the
     runtime frees each block's temporaries before the next starts.  This is
@@ -932,11 +947,15 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
 
     def drain(out):
         j0, j1, n_seg, s_seg = pending.pop(0)
-        out = _seg_write(out, _force(n_seg), int(sp[j0]))
+        # one _force per block: both segments are outputs of the SAME jit
+        # call, so syncing one element of n_seg proves the whole block
+        # finished; a second fetch would be a pure tunnel-RTT tax
+        _force(n_seg)
         if s_seg is not None:
             j1s = min(j1, J - 1)
-            out = _seg_write(out, _force(s_seg), int(sp[nrings - j1s]))
-        return out
+            return _seg_write_pair(out, n_seg, s_seg,
+                                   int(sp[j0]), int(sp[nrings - j1s]))
+        return _seg_write(out, n_seg, int(sp[j0]))
 
     use_tab_cache = os.environ.get("CALCLENS_CZT_CACHE", "0") != "0"
     for b in range(nblk):
