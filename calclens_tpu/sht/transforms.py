@@ -911,20 +911,22 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     optimization barriers and overlaps the blocks (measured: 8-block
     in-graph streaming still peaks 16.9 GB at NSIDE 4096 vs 15.75 GB HBM).
 
-    Blocks run as a depth-2 pipeline (CALCLENS_SYNTH_PIPELINE, 1 = fully
-    serialized): block b+1 is dispatched BEFORE block b's segments are
-    force-synced (scalar fetch — block_until_ready returns early on this
-    runtime) and written, so the device starts the next block's compute
-    while the host pays the per-block dispatch + write latency (measured
-    ~0.1 s/block at NSIDE 4096).  Peak memory grows only by one block's
-    OUTPUT segments (~0.4 GB at NSIDE 4096), not a second working set —
-    the device executes in order, so only one block's temporaries are ever
-    live.  Segments are written in place into the single [6, npix] output
-    buffer (donated dynamic_update_slice, _seg_write).
+    Blocks run serialized by default (CALCLENS_SYNTH_PIPELINE=1): each
+    block is force-synced (scalar fetch — block_until_ready returns early
+    on this runtime) and its two segments written in ONE donated dispatch
+    (_seg_write_pair) before the next block launches.  With the host side
+    down to ~2 tunnel round-trips per block, depth 1 measures FASTER than
+    the depth-2 pipeline in the full plane step (12.41 vs 13.48 s at
+    NSIDE 4096): the pipeline's second in-flight block's temporaries push
+    the allocator to the edge of HBM, which costs more than the ~60 ms/
+    block of host latency it hides.  Depth 2 was the round-2 winner when
+    the per-block host cost was ~2x higher (two forces + two writes).
+    Segments are written in place into the single [6, npix] output buffer
+    (donated dynamic_update_slice).
     """
     J, nrings = plan.J, plan.nrings
     assert J % nblk == 0, (J, nblk)
-    depth = max(1, int(os.environ.get("CALCLENS_SYNTH_PIPELINE", "2")))
+    depth = max(1, int(os.environ.get("CALCLENS_SYNTH_PIPELINE", "1")))
     Jblk = J // nblk
     # Hoist the MX stream prep out of the blocks: with the write-buffer
     # assembly gone (see _assemble) the four [nm_pad, nl_pad] f32 streams
