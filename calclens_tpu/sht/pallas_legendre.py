@@ -363,7 +363,17 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
         # fully unrolled (LB static steps): every alm accumulation lands at
         # a STATIC sublane offset — the fori_loop version's per-degree
         # dynamic-sublane read-modify-writes were the main non-arithmetic
-        # cost of the sweep
+        # cost of the sweep.  Recurrence coefficients a, b are HOISTED into
+        # one [TM, LB] batched evaluation per l-block (2 sqrts total)
+        # instead of ~12 small-vector ops + 2 sqrts per degree.
+        lf_blk = (lb * LB
+                  + jax.lax.broadcasted_iota(jnp.int32, (TM, LB), 1)
+                  ).astype(jnp.float32)
+        den = jnp.maximum((lf_blk - mf) * (lf_blk + mf), 1.0)
+        a_blk = jnp.sqrt((2.0 * lf_blk - 1.0) * (2.0 * lf_blk + 1.0) / den)
+        bnum = jnp.maximum((lf_blk - 1.0 - mf) * (lf_blk - 1.0 + mf), 0.0)
+        bden = jnp.maximum((2.0 * lf_blk - 3.0) * (2.0 * lf_blk - 1.0), 1.0)
+        b_blk = jnp.sqrt(bnum / bden)
         pp = pp_ref[...]
         pc = pc_ref[...]
         k = k_ref[...]
@@ -372,8 +382,8 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
                                jnp.where(k == -1, _RESC, 0.0))
             base = w * RS
             for r in range(RS):  # l parity == r parity (RS, LB even)
-                l_int = lb * LB + base + r
-                a, b = _row_coeffs(l_int.astype(jnp.float32), mf)
+                a = a_blk[:, base + r: base + r + 1]
+                b = b_blk[:, base + r: base + r + 1]
                 new = a * (cth * pc - b * pp)
                 _accum(base + r, new * corfac, (r % 2) == 0)
                 pp, pc = pc, new

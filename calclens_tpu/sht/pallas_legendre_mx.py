@@ -167,6 +167,19 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
         # [TM, RS, TJ] chunked store was MEASURED SLOWER on v5e: 0.524 s vs
         # 0.379 s per belt block at order 12 — the stack materializes the
         # window in registers and spills.)
+        #
+        # Recurrence coefficients a, b are HOISTED: one [TM, LB] batched
+        # evaluation per l-block (2 sqrts total on 2-vreg shapes) instead
+        # of ~12 small-vector ops + 2 sqrts per DEGREE — the per-degree
+        # coefficient math was ~40% of the fast path's instruction count.
+        lf_blk = (lb * LB
+                  + jax.lax.broadcasted_iota(jnp.int32, (TM, LB), 1)
+                  ).astype(jnp.float32)
+        den = jnp.maximum((lf_blk - mf) * (lf_blk + mf), 1.0)
+        a_blk = jnp.sqrt((2.0 * lf_blk - 1.0) * (2.0 * lf_blk + 1.0) / den)
+        bnum = jnp.maximum((lf_blk - 1.0 - mf) * (lf_blk - 1.0 + mf), 0.0)
+        bden = jnp.maximum((2.0 * lf_blk - 3.0) * (2.0 * lf_blk - 1.0), 1.0)
+        b_blk = jnp.sqrt(bnum / bden)
         pp = pp_ref[...]
         pc = pc_ref[...]
         k = k_ref[...]
@@ -175,12 +188,8 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
                                jnp.where(k == -1, _RESC, 0.0))
             base = w * RS
             for r in range(RS):
-                lf = (lb * LB + base + r).astype(jnp.float32)
-                den = jnp.maximum((lf - mf) * (lf + mf), 1.0)
-                a = jnp.sqrt((2.0 * lf - 1.0) * (2.0 * lf + 1.0) / den)
-                bnum = jnp.maximum((lf - 1.0 - mf) * (lf - 1.0 + mf), 0.0)
-                bden = jnp.maximum((2.0 * lf - 3.0) * (2.0 * lf - 1.0), 1.0)
-                b = jnp.sqrt(bnum / bden)
+                a = a_blk[:, base + r: base + r + 1]
+                b = b_blk[:, base + r: base + r + 1]
                 new = a * (cth * pc - b * pp)
                 p_scr[:, base + r: base + r + 1, :] = \
                     (new * corfac)[:, None, :]

@@ -781,15 +781,14 @@ def _alm2allmaps_streamed(plan: SHTPlan, alm, nblk: int):
 
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
-                          prepped=None, czt_tabs=None):
-    """One streaming block as a standalone jitted unit (host-streamed path):
-    alm -> (north pixel segment, south segment or None) for ring pairs
-    [j0, j1), covariant corrections already applied.  plan here is the full
-    plan; prepped (from pallas_legendre_mx.mx_prep) skips the per-block alm
-    stream prep; czt_tabs {(a, b): chirp tables} skips the per-block chirp
-    table construction (plan-static, cached across blocks and planes)."""
+def _synth_block_parts(plan, full_J, nrings, Jblk_range, alm,
+                       prepped=None, czt_tabs=None):
+    """One streaming block: alm -> (north pixel segment, south segment or
+    None) for ring pairs [j0, j1), covariant corrections already applied.
+    plan here is the full plan; prepped (from pallas_legendre_mx.mx_prep)
+    skips the per-block alm stream prep; czt_tabs {(a, b): chirp tables}
+    skips the per-block chirp table construction (plan-static, cached
+    across blocks and planes)."""
     j0, j1 = Jblk_range
     view = _geo_view(plan, j0, j1)
     qN, qS = _legendre_synth_dispatch(view, alm, True, prepped=prepped)
@@ -808,6 +807,34 @@ def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
                                   plan.cot_ring[r0s:r1s])
         south = _synth_ring_rows(plan, sS, r0s, r1s, tables=czt_tabs)
     return north, south
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _synth_block_segments(plan, full_J, nrings, Jblk_range, alm,
+                          prepped=None, czt_tabs=None):
+    """_synth_block_parts as a standalone jitted unit (profiling/tests)."""
+    return _synth_block_parts(plan, full_J, nrings, Jblk_range, alm,
+                              prepped, czt_tabs)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5), donate_argnums=(6,))
+def _synth_block_update(plan, full_J, nrings, Jblk_range, col_n: int,
+                        col_s: int, out, alm, prepped=None, czt_tabs=None):
+    """One streaming block fused with its segment writes into the DONATED
+    [6, npix] output buffer.  The donated buffer threads a data dependency
+    from block to block, so the device executes blocks strictly in order
+    with one block's temporaries live at a time — while the host is free to
+    enqueue every block without a sync in between.  This removes the
+    ~2 tunnel-RTTs-per-block host cost of the force+write scheme (~2.2 s of
+    the NSIDE 4096 synthesis phase on the axon runtime)."""
+    north, south = _synth_block_parts(plan, full_J, nrings, Jblk_range, alm,
+                                      prepped, czt_tabs)
+    out = jax.lax.dynamic_update_slice(out, north,
+                                       (jnp.int32(0), jnp.int32(col_n)))
+    if south is not None:
+        out = jax.lax.dynamic_update_slice(out, south,
+                                           (jnp.int32(0), jnp.int32(col_s)))
+    return out
 
 
 _czt_tab_builders = {}
@@ -911,22 +938,25 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
     optimization barriers and overlaps the blocks (measured: 8-block
     in-graph streaming still peaks 16.9 GB at NSIDE 4096 vs 15.75 GB HBM).
 
-    Blocks run serialized by default (CALCLENS_SYNTH_PIPELINE=1): each
-    block is force-synced (scalar fetch — block_until_ready returns early
-    on this runtime) and its two segments written in ONE donated dispatch
-    (_seg_write_pair) before the next block launches.  With the host side
-    down to ~2 tunnel round-trips per block, depth 1 measures FASTER than
-    the depth-2 pipeline in the full plane step (12.41 vs 13.48 s at
-    NSIDE 4096): the pipeline's second in-flight block's temporaries push
-    the allocator to the edge of HBM, which costs more than the ~60 ms/
-    block of host latency it hides.  Depth 2 was the round-2 winner when
-    the per-block host cost was ~2x higher (two forces + two writes).
-    Segments are written in place into the single [6, npix] output buffer
-    (donated dynamic_update_slice).
+    Default mode (CALCLENS_SYNTH_CHAIN=1): each block's jit call CONSUMES
+    the donated [6, npix] output buffer, writes its two segments in-graph
+    and returns the buffer (_synth_block_update).  The donated buffer is a
+    block-to-block data dependency, so the device runs blocks strictly in
+    order (one block's temporaries live at a time — same peak memory as the
+    serialized scheme) while the host enqueues all blocks back-to-back with
+    NO per-block sync.  On the axon runtime a jit dispatch costs a tunnel
+    RTT but does not wait for execution: the dispatch stream overlaps the
+    device compute, hiding what used to be ~2.2 s of force+write latency
+    per NSIDE 4096 synthesis.  CALCLENS_SYNTH_INFLIGHT=k (default 0 = all)
+    force-syncs every k blocks as a backstop if the runtime's enqueue-ahead
+    allocation ever becomes the constraint.
+
+    CALCLENS_SYNTH_CHAIN=0 restores the round-2 force+write scheme (one
+    scalar-fetch sync + one donated pair-write dispatch per block,
+    optionally pipelined CALCLENS_SYNTH_PIPELINE deep).
     """
     J, nrings = plan.J, plan.nrings
     assert J % nblk == 0, (J, nblk)
-    depth = max(1, int(os.environ.get("CALCLENS_SYNTH_PIPELINE", "1")))
     Jblk = J // nblk
     # Hoist the MX stream prep out of the blocks: with the write-buffer
     # assembly gone (see _assemble) the four [nm_pad, nl_pad] f32 streams
@@ -945,6 +975,24 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
         alm = None
     sp = np.append(plan.startpix[: plan.nrings], plan.npix)
     out = jnp.zeros((6, plan.npix), plan.dtype)
+    use_tab_cache = os.environ.get("CALCLENS_CZT_CACHE", "0") != "0"
+
+    if os.environ.get("CALCLENS_SYNTH_CHAIN", "1") != "0":
+        inflight = int(os.environ.get("CALCLENS_SYNTH_INFLIGHT", "0"))
+        for b in range(nblk):
+            j0, j1 = b * Jblk, (b + 1) * Jblk
+            tabs = (_czt_synth_tables(plan, j0, j1, J, nrings)
+                    if use_tab_cache else None)
+            j1s = min(j1, J - 1)
+            col_s = int(sp[nrings - j1s]) if j1s > j0 else -1
+            out = _synth_block_update(plan, J, nrings, (j0, j1),
+                                      int(sp[j0]), col_s, out, alm,
+                                      prepped, tabs)
+            if inflight and (b + 1) % inflight == 0 and b + 1 < nblk:
+                _force(out)
+        return out
+
+    depth = max(1, int(os.environ.get("CALCLENS_SYNTH_PIPELINE", "1")))
     pending = []
 
     def drain(out):
@@ -959,7 +1007,6 @@ def alm2allmaps_host_streamed(plan: SHTPlan, alm, nblk: int):
                                    int(sp[j0]), int(sp[nrings - j1s]))
         return _seg_write(out, n_seg, int(sp[j0]))
 
-    use_tab_cache = os.environ.get("CALCLENS_CZT_CACHE", "0") != "0"
     for b in range(nblk):
         j0, j1 = b * Jblk, (b + 1) * Jblk
         tabs = (_czt_synth_tables(plan, j0, j1, J, nrings)
