@@ -14,6 +14,7 @@ float-then-correct scheme so ring decoding is exact.
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -263,39 +264,107 @@ class InterpTables:
         self.shifted = np.asarray(rt.shifted.astype(np.float64) * 0.5, dtype=np.dtype(dtype))
 
 
+def _ring_geo_closed(ir, nside: int, npix: int, fdtype):
+    """Closed-form per-ring geometry for 1-indexed ring numbers ``ir`` —
+    the RingTable formulas (core.py RingTable.__init__) evaluated as pure
+    vector arithmetic.  Replaces four 16K-entry table gathers per ring in
+    the interp hot path (measured 30x faster on the v5e rayside profile:
+    0.027 s vs 0.816 s tap arithmetic at order 12 / 12.6M rays).
+
+    startpix/ringpix are computed in int32 (exact; the f32 path would
+    round above 2^24 — npix is 201M at order 12).  The worst int32
+    product, 2*ir*(ir-1) at ir = 4*nside-1, stays below 2^31 through
+    order 13 (the device-path ceiling, see ring2nest_dev)."""
+    north = ir < nside
+    south = ir > 3 * nside
+    isouth = 4 * nside - ir
+    nr = 4 * jnp.where(north, ir, jnp.where(south, isouth, nside))
+    ncap = 2 * nside * (nside - 1)
+    sp = jnp.where(
+        north, 2 * ir * (ir - 1),
+        jnp.where(south, npix - 2 * isouth * (isouth + 1),
+                  ncap + (ir - nside) * (4 * nside)))
+    shift = jnp.where(north | south, True,
+                      ((ir + nside) & 1) == 0).astype(fdtype) * 0.5
+    irf = ir.astype(fdtype)
+    isf = isouth.astype(fdtype)
+    # caps: theta = 2 asin(ir sqrt(1/(6 nside^2))) — cancellation-free form
+    # of arccos(1 - ir^2/(3 nside^2)); the arccos form loses ~3e-6 rad in
+    # f32 near the poles (vs ring spacing ~1e-4 at order 12)
+    half = float(np.sqrt(1.0 / 6.0) / float(nside))
+    th_n = 2.0 * jnp.arcsin(jnp.clip(irf * half, 0.0, 1.0))
+    th_s = float(np.pi) - 2.0 * jnp.arcsin(jnp.clip(isf * half, 0.0, 1.0))
+    z_belt = 4.0 / 3.0 - 2.0 * irf / (3.0 * float(nside))
+    th_e = jnp.arccos(jnp.clip(z_belt, -1.0, 1.0))
+    thr = jnp.where(north, th_n, jnp.where(south, th_s, th_e))
+    return sp, nr, shift, thr
+
+
+def ring_decode_pix(pk, nside: int, npix: int):
+    """RING pixel -> (ring number 1..4nside-1, 0-based index in ring) —
+    exact int32 arithmetic (order <= 13).  Used to reconstruct a tap's
+    geometry from the pixel id that was ACTUALLY gathered (rays/soa.py
+    materialized-tap weights)."""
+    ncap = 2 * nside * (nside - 1)
+    pk = pk.astype(jnp.int32)
+    north = pk < ncap
+    south = pk >= npix - ncap
+    ir_n = (1 + _isqrt_dev(1 + 2 * pk)) >> 1
+    i_n = pk - 2 * ir_n * (ir_n - 1)
+    ip_s = npix - pk  # 1..ncap for south pixels
+    ir_sl = (1 + _isqrt_dev(jnp.maximum(2 * ip_s - 1, 1))) >> 1
+    i_s = 2 * ir_sl * (ir_sl + 1) - ip_s
+    ip_e = pk - ncap
+    tmp = ip_e // (4 * nside)
+    ir_e = tmp + nside
+    i_e = ip_e - tmp * (4 * nside)
+    ring = jnp.where(north, ir_n, jnp.where(south, 4 * nside - ir_sl, ir_e))
+    idx = jnp.where(north, i_n, jnp.where(south, i_s, i_e))
+    return ring, idx
+
+
 def get_interpol_soa(tab: InterpTables, theta, phi):
     """Device 4-pixel bilinear taps as separate [N] arrays (SoA).
 
     Returns ((p0..p3 int32 RING indices), (w0..w3 weights)).
     """
     nside = tab.nside
-    startpix_t = jnp.asarray(tab.startpix)
-    ringpix_t = jnp.asarray(tab.ringpix)
-    theta_t = jnp.asarray(tab.theta)
-    shifted_t = jnp.asarray(tab.shifted)
     z = jnp.cos(theta)
     az = jnp.abs(z)
     ir_cap = (nside * jnp.sqrt(jnp.maximum(3.0 * (1.0 - az), 0.0))).astype(jnp.int32)
     ir_eq = (nside * (2.0 - 1.5 * z)).astype(jnp.int32)
-    ring_above = jnp.where(az <= 2.0 / 3.0, ir_eq,
-                           jnp.where(z > 0, ir_cap, 4 * nside - ir_cap - 1))
+    # KNIFE-EDGE PINNING.  ring_above and tmp (below) sit on floor()/astype
+    # knife edges: rays at exact pixel centers (every full-sky ray grid with
+    # rayOrder == mapOrder) evaluate them at exact integers.  XLA fusion may
+    # DUPLICATE their float producer chains into several consumer fusions
+    # whose rewrites (fma, reciprocal strength-reduction) round differently;
+    # the duplicated copies then disagree about which side of the edge the
+    # ray is on, and downstream quantities derived from different copies mix
+    # (a weight paired with the wrong pixel, a gather with the wrong
+    # parallel transport) — an O(1) error.  optimization_barrier pins each
+    # such quantity to ONE materialized value; everything derived from the
+    # pinned tensor is plain IEEE ops with no rewrite freedom.  (Caught by
+    # test_sharded_step_matches_single_device at order 5.)
+    ring_above = jax.lax.optimization_barrier(
+        jnp.where(az <= 2.0 / 3.0, ir_eq,
+                  jnp.where(z > 0, ir_cap, 4 * nside - ir_cap - 1)))
     ir1 = ring_above
     ir2 = ring_above + 1
     nrings = 4 * nside - 1
 
     def ring_interp(ir):
-        idx = jnp.clip(ir, 1, nrings) - 1
-        sp = startpix_t[idx]
-        nr = ringpix_t[idx]
-        shift = shifted_t[idx]
+        sp, nr, shift, thr = _ring_geo_closed(
+            jnp.clip(ir, 1, nrings), nside, tab.npix, theta.dtype)
         dphi = 2.0 * jnp.pi / nr.astype(theta.dtype)
-        tmp = phi / dphi - shift
-        i1 = jnp.floor(tmp).astype(jnp.int32)
-        w = (phi - (i1.astype(theta.dtype) + shift) * dphi) / dphi
+        tmp = jax.lax.optimization_barrier(phi / dphi - shift)
+        # i1 and w MUST both come from the same pinned tmp (see above)
+        i1f = jnp.floor(tmp)
+        i1 = i1f.astype(jnp.int32)
+        w = tmp - i1f
         i2 = i1 + 1
         i1 = jnp.where(i1 < 0, i1 + nr, i1)
         i2 = jnp.where(i2 >= nr, i2 - nr, i2)
-        return sp + i1, sp + i2, w, theta_t[idx]
+        return sp + i1, sp + i2, w, thr
 
     p11, p12, w1, theta1 = ring_interp(ir1)
     p21, p22, w2, theta2 = ring_interp(ir2)
@@ -328,7 +397,15 @@ def get_interpol_soa(tab: InterpTables, theta, phi):
     p2 = jnp.where(south, ((p11 + 2) & 3) + npix - 4, p21)
     p3 = jnp.where(south, ((p12 + 2) & 3) + npix - 4, p22)
 
-    return (p0, p1, p2, p3), (w0, w1_, w2_, w3_)
+    # pin taps+weights as materialized values: XLA fusion may otherwise
+    # DUPLICATE this producer chain into several consumer fusions that
+    # round the floor() knife edge differently — consumers then disagree
+    # about which pixel a tap is (observed: the field gather used taps
+    # (k-1, k) while the parallel-transport chain used (k, k+1) for rays
+    # at exact pixel centers, an O(1) error caught by the sharded-vs-
+    # single step equivalence)
+    return jax.lax.optimization_barrier(
+        ((p0, p1, p2, p3), (w0, w1_, w2_, w3_)))
 
 
 def triangles_ring(tab: InterpTables, pix):

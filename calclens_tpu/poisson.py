@@ -210,6 +210,7 @@ def plane_step_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed, pos,
 
     packed = soa.zero_plane_rows(packed)
     maps = _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph)
+    maps = jax.lax.optimization_barrier(maps)
     packed = _ray_side_packed(tab, maps, packed, scal, born, plan)
     return packed, (maps if with_maps else None)
 

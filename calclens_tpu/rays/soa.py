@@ -145,18 +145,133 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool,
 
     pix_base: when maps is a WINDOW of the full map (sharded halo-exchange
     path, parallel/halo.py), the global RING index of the window's first
-    column; tap indices are translated and clipped into the window."""
+    column; tap indices are translated and clipped into the window.
+
+    MISPAIRING-PROOF TAP STRUCTURE.  The bilinear tap indices come from
+    floor()/astype knife edges (rays at exact pixel centers — every
+    full-sky ray grid — and every cap ray at theta-nesting ray/map orders
+    sits exactly on one).  XLA fusion may duplicate those float chains
+    into several consumer fusions whose rewrites round differently, so two
+    consumers of "the same" tap index can disagree by one pixel; pairing a
+    weight-1 tap with the wrong neighbor's field or transport is an O(1)
+    error (jax.lax.optimization_barrier does NOT survive the XLA:CPU
+    pipeline, so pinning is impossible).  Defense: a 7th map row carries
+    the pixel id (bit-exact), so ONE row-gather atomically returns each
+    tap's fields AND its true id; the ring geometry, interpolation weights
+    and parallel transport are all reconstructed from that materialized id
+    (exact int decode + branch-free position-based weights).  Any knife-
+    edge flip then only swaps in a valid neighboring tap set, and the
+    position-derived weights keep the interpolation consistent — O(h^2)
+    wobble instead of O(1) mispairing.  Caught by
+    test_sharded_step_matches_single_device."""
     maps6 = maps if isinstance(maps, jnp.ndarray) else jnp.stack(
         [maps.pot, maps.gt, maps.gp, maps.gtt, maps.gtp, maps.gpp])
     r = chunk
     nx, ny, nz = r[0], r[1], r[2]
     rad = jnp.sqrt(nx * nx + ny * ny + nz * nz)
     hx, hy, hz = nx / rad, ny / rad, nz / rad
+    dt = nx.dtype
 
     theta = jnp.arccos(jnp.clip(hz, -1.0, 1.0))
     phi = jnp.arctan2(hy, hx)
     phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
-    pix4, wgt4 = jaxhp.get_interpol_soa(tab, theta, phi)
+    pix4, _ = jaxhp.get_interpol_soa(tab, theta, phi)
+
+    # 7th row: global pixel id of each column, bit-exact in the map dtype.
+    # f32 reinterprets the int32 bits with 0x40000000 set (keeps the value
+    # a normal float: no denormal-flush hazard; npix < 2^30 through order
+    # 13); f64 stores the id as an exact float.
+    W = maps6.shape[1]
+    glob = jnp.arange(W, dtype=jnp.int32)
+    if pix_base is not None:
+        glob = glob + pix_base
+    if dt == jnp.dtype(jnp.float32):
+        iota = jax.lax.bitcast_convert_type(glob | jnp.int32(0x40000000),
+                                            jnp.float32)
+    else:
+        iota = glob.astype(dt)
+    maps7 = jnp.concatenate([maps6, iota[None, :]], axis=0)
+
+    nside = tab.nside
+    npix_map = tab.npix
+    nrings = 4 * nside - 1
+    two_pi = 2.0 * jnp.pi
+
+    fld4, cs4, dl4, th4, rg4 = [], [], [], [], []
+    for k in range(4):
+        pk = pix4[k]
+        if pix_base is not None:
+            pkw = pk - pix_base
+            pk = jnp.clip(pkw, 0, W - 1)
+        f = maps7[:, pk]  # one row-gather: [7, c]
+        if dt == jnp.dtype(jnp.float32):
+            pk_true = (jax.lax.bitcast_convert_type(f[6], jnp.int32)
+                       & jnp.int32(0x3FFFFFFF))
+        else:
+            pk_true = f[6].astype(jnp.int32)
+        ring, idx = jaxhp.ring_decode_pix(pk_true, nside, npix_map)
+        _, nr, shift, thr = jaxhp._ring_geo_closed(ring, nside, npix_map, dt)
+        dphi = two_pi / nr.astype(dt)
+        phic = (idx.astype(dt) + shift) * dphi
+        # signed azimuth offset of the ray from this tap, wrapped to
+        # (-pi, pi] (the wrap edge is at the antipode, far from any tap)
+        delta = phi - phic
+        delta = delta - two_pi * jnp.round(delta / two_pi)
+        # tap center vector from the decoded ring geometry
+        sthr = jnp.sin(thr)
+        cx = sthr * jnp.cos(phic)
+        cy = sthr * jnp.sin(phic)
+        cz = jnp.cos(thr)
+        c_, s_ = _transport_psi(cx, cy, cz, hx, hy, hz)
+        if pix_base is not None and _debug_halo():
+            # poison out-of-window taps so a truncated halo (see
+            # parallel.halo.required_halo) fails loudly instead of
+            # interpolating from clamped (wrong) pixels
+            f = jnp.where((pkw >= 0) & (pkw < W), f, jnp.nan)
+        fld4.append(f)
+        cs4.append((c_, s_))
+        dl4.append(delta)
+        th4.append(thr)
+        rg4.append(ring)
+
+    def az_pair(d0, d1):
+        """Linear weights for two taps at signed offsets d0, d1 from the
+        ray — exact for ANY distinct pair (knife-edge flips just present a
+        different valid pair)."""
+        span = d1 - d0
+        safe = jnp.abs(span) > 1e-30
+        inv = 1.0 / jnp.where(safe, span, 1.0)
+        a0 = jnp.where(safe, d1 * inv, 0.5)
+        return a0, 1.0 - a0
+
+    a0, a1 = az_pair(dl4[0], dl4[1])
+    a2, a3 = az_pair(dl4[2], dl4[3])
+
+    ring0, ring2 = rg4[0], rg4[2]
+    th0, th2 = th4[0], th4[2]
+    span_t = th2 - th0
+    safe_t = jnp.abs(span_t) > 1e-30
+    wt = (theta - th0) / jnp.where(safe_t, span_t, 1.0)
+    wt = jnp.where(safe_t, wt, 0.5)
+    wg = ((1.0 - wt) * a0, (1.0 - wt) * a1, wt * a2, wt * a3)
+
+    # pole folds (reference get_interpol ir1==0 / ir2==4nside branches):
+    # the remapped slots land on the SAME ring as the real pair, which the
+    # materialized ids expose as ring0 == ring2
+    same_ring = ring0 == ring2
+    north = same_ring & (ring2 == 1)
+    south = same_ring & (ring0 == nrings)
+    wtn = theta / th2
+    facn = (1.0 - wtn) * 0.25
+    wts = (theta - th0) / (jnp.pi - th0)
+    facs = wts * 0.25
+    w0 = jnp.where(north, facn,
+                   jnp.where(south, (1.0 - wts) * a0 + facs, wg[0]))
+    w1 = jnp.where(north, facn,
+                   jnp.where(south, (1.0 - wts) * a1 + facs, wg[1]))
+    w2 = jnp.where(north, wtn * a2 + facn, jnp.where(south, facs, wg[2]))
+    w3 = jnp.where(north, wtn * a3 + facn, jnp.where(south, facs, wg[3]))
+    wgt4 = (w0, w1, w2, w3)
 
     pot = jnp.zeros_like(nx)
     g0 = jnp.zeros_like(nx)
@@ -166,21 +281,9 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool,
     u10 = jnp.zeros_like(nx)
     u11 = jnp.zeros_like(nx)
     for k in range(4):
-        pk = pix4[k]
-        wk = wgt4[k].astype(nx.dtype)
-        cvec = jaxhp.pix2vec_ring(pk, tab.order, dtype=nx.dtype)
-        cx, cy, cz = cvec[..., 0], cvec[..., 1], cvec[..., 2]
-        c_, s_ = _transport_psi(cx, cy, cz, hx, hy, hz)
-        if pix_base is not None:
-            pkw = pk - pix_base
-            pk = jnp.clip(pkw, 0, maps6.shape[1] - 1)
-            if _debug_halo():
-                # poison out-of-window taps so a truncated halo (see
-                # parallel.halo.required_halo) fails loudly instead of
-                # interpolating from clamped (wrong) pixels
-                wk = jnp.where((pkw >= 0) & (pkw < maps6.shape[1]),
-                               wk, jnp.nan)
-        f = maps6[:, pk]  # one row-gather: [6, c]
+        f = fld4[k]
+        wk = wgt4[k].astype(dt)
+        c_, s_ = cs4[k]
         pot = pot + f[0] * wk
         gt, gp = f[1], f[2]
         g0 = g0 + (gt * c_ + gp * s_) * wk

@@ -194,3 +194,51 @@ def test_query_disc_fast_dispatch_matches_ring_walk():
         ang = np.arccos(np.clip(allv @ v0, -1, 1))
         exact = np.flatnonzero(ang <= rad)
         assert np.all(np.isin(exact, got)), rad
+
+
+@pytest.mark.parametrize("order", [3, 7, 13])
+@pytest.mark.parametrize("f64", [False, True])
+def test_ring_geo_closed_matches_table(order, f64):
+    """The closed-form device ring geometry (jaxhp._ring_geo_closed, the
+    gather-free replacement for the InterpTables lookups in the interp hot
+    path) must reproduce the golden-tested host RingTable for EVERY ring:
+    startpix/ringpix exactly (int32 through order 13), shift exactly, and
+    theta to dtype precision."""
+    import jax.numpy as jnp
+    from calclens_tpu.healpix import jaxhp
+
+    rt = hp.build_ring_table(order)
+    ir = jnp.arange(1, rt.nrings + 1, dtype=jnp.int32)
+    fdtype = jnp.float64 if f64 else jnp.float32
+    sp, nr, shift, thr = jaxhp._ring_geo_closed(ir, rt.nside, rt.npix, fdtype)
+    np.testing.assert_array_equal(np.asarray(sp, dtype=np.int64), rt.startpix)
+    np.testing.assert_array_equal(np.asarray(nr, dtype=np.int64), rt.ringpix)
+    np.testing.assert_array_equal(
+        np.asarray(shift), rt.shifted.astype(np.float64) * 0.5)
+    np.testing.assert_allclose(
+        np.asarray(thr, dtype=np.float64), rt.theta,
+        rtol=0, atol=(1e-12 if f64 else 4e-7))
+
+
+@pytest.mark.parametrize("order", [3, 7, 13])
+def test_ring_decode_pix_roundtrip(order):
+    """jaxhp.ring_decode_pix must invert startpix+idx for every pixel
+    (sampled at high order): ring/idx reconstruction from a gathered tap id
+    is the basis of the mispairing-proof interp weights."""
+    import jax.numpy as jnp
+    from calclens_tpu.healpix import jaxhp
+
+    rt = hp.build_ring_table(order)
+    npix = int(rt.npix)
+    if npix <= 200000:
+        pix = np.arange(npix, dtype=np.int64)
+    else:
+        rng = np.random.default_rng(0)
+        pix = rng.integers(0, npix, size=200000)
+        pix = np.concatenate([pix, [0, npix - 1, npix // 2]])
+    ring, idx = jaxhp.ring_decode_pix(jnp.asarray(pix, jnp.int32),
+                                      rt.nside, npix)
+    ring = np.asarray(ring, dtype=np.int64)
+    idx = np.asarray(idx, dtype=np.int64)
+    np.testing.assert_array_equal(rt.startpix[ring - 1] + idx, pix)
+    assert np.all(idx >= 0) and np.all(idx < rt.ringpix[ring - 1])
