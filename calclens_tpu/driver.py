@@ -145,12 +145,15 @@ class Raytracer:
 
     @property
     def _phased_step(self):
-        """Run the plane step phase-split (separate jits with host syncs)
-        instead of fully fused: required for profiling, and at NSIDE >= 4096
-        single-chip where the fused step cannot fit HBM (the synthesis must
-        be host-streamed over j-blocks; poisson.phase_synthesis_host)."""
+        """Run the plane step phase-split (separate jits) instead of fully
+        fused: required for profiling; at NSIDE >= 4096 single-chip where
+        the fused step cannot fit HBM (the synthesis must be host-streamed
+        over j-blocks; poisson.phase_synthesis_host); and at NSIDE 2048
+        single-chip where the streamed synthesis' per-block turning-point m
+        cutoffs and chained dispatch beat the fused in-graph synthesis
+        (measured 2.43 vs 16.3 s/plane at order 11 / rayOrder 10 on v5e)."""
         return self.cfg.Profile or (
-            self.plan.spec is None and self.cfg.SHTOrder >= 12)
+            self.plan.spec is None and self.cfg.SHTOrder >= 11)
 
     # ------------------------------------------------------------------
     def active_ray_pixels(self):
@@ -476,16 +479,22 @@ class Raytracer:
             row = {}
             self.phase_rows.append((plane_num, row))
 
+        profiling = self.cfg.Profile
+
         def phase(tag, fn, *args, sync=None, **kw):
             t0 = time.perf_counter()
             out = fn(*args, **kw)
-            probe = out if sync is None else sync(out)
-            # corner-element fetch as the device sync: slicing before any
-            # reshape so no map-sized eager copy is dispatched
-            float(jnp.sum(probe[tuple(slice(0, 1) for _ in range(probe.ndim))]))
-            row[tag] = time.perf_counter() - t0
-            prof.total[tag] = prof.total.get(tag, 0.0) + row[tag]
-            prof.count[tag] = prof.count.get(tag, 0) + 1
+            if profiling:
+                probe = out if sync is None else sync(out)
+                # corner-element fetch as the device sync: slicing before
+                # any reshape so no map-sized eager copy is dispatched.
+                # Without Profile the phases chain as device dependencies
+                # and skipping the 4 fetches saves ~4 tunnel RTTs/plane.
+                float(jnp.sum(
+                    probe[tuple(slice(0, 1) for _ in range(probe.ndim))]))
+                row[tag] = time.perf_counter() - t0
+                prof.total[tag] = prof.total.get(tag, 0.0) + row[tag]
+                prof.count[tag] = prof.count.get(tag, 0) + 1
             return out
 
         pos_d, mass_d = self._pad_particles(pos, mass)
