@@ -39,3 +39,19 @@ def test_collective_traffic_accounting_order9():
     # in f32 x 6 maps (the documented largest term)
     biggest = max(op["out_bytes"] for op in t["ops"])
     assert biggest <= 6 * 4 * npix * 4 // 3, biggest
+
+
+def test_collective_traffic_regex_rot_guard():
+    """A mesh-compiled module that parses to zero collectives must raise
+    (regex rot protection), not silently report a free step."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from hlo_traffic import collective_traffic
+
+    plain = "ENTRY main { ROOT %x = f32[8,8] add(f32[8,8] %a, f32[8,8] %b) }"
+    with pytest.raises(RuntimeError, match="regex"):
+        collective_traffic(plain, 8)
+    # single-device modules legitimately have no collectives
+    t = collective_traffic(plain, 1)
+    assert t["total_send_bytes"] == 0

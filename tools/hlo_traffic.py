@@ -47,8 +47,15 @@ def _shape_bytes(txt):
     return total
 
 
-def collective_traffic(hlo_text, ndev):
-    """Per-device send bytes by collective kind for ONE execution."""
+def collective_traffic(hlo_text, ndev, expect_collectives=None):
+    """Per-device send bytes by collective kind for ONE execution.
+
+    The result is a LOWER bound on real ICI traffic: the regex walk only
+    sees ops it recognizes, and the ring-algorithm byte models
+    (all-gather/all-reduce) assume the best-case schedule.  As regex-rot
+    protection, a mesh-compiled module (ndev > 1, or expect_collectives
+    explicitly True) that yields ZERO parsed collectives raises instead of
+    silently reporting a free step."""
     out = {"all-to-all": 0, "collective-permute": 0, "all-gather": 0,
            "all-reduce": 0, "reduce-scatter": 0, "ops": []}
     for line in hlo_text.splitlines():
@@ -76,6 +83,14 @@ def collective_traffic(hlo_text, ndev):
                                   ("all-to-all", "collective-permute",
                                    "all-gather", "all-reduce",
                                    "reduce-scatter"))
+    if expect_collectives is None:
+        expect_collectives = ndev > 1
+    if expect_collectives and not out["ops"]:
+        raise RuntimeError(
+            "no collectives parsed from a mesh-compiled HLO module — the "
+            "op-line regex no longer matches the HLO text format (regex "
+            "rot); fix _SHAPE/the kind regex before trusting any traffic "
+            "numbers")
     return out
 
 
