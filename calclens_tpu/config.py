@@ -76,6 +76,13 @@ class RayTraceConfig:
     # -1 = the reference's hardcoded map_order = 11 (raytrace.c:44); small
     # values keep test/debug runs from writing multi-GB map tables
     LensMapOrder: int = -1
+    # CMB-mode output switches (the reference's compile consts
+    # write_restart_files_for_rays_at_cmb / write_fits_maps_for_rays_at_cmb,
+    # both true, propagate_to_cmb_from_restart.c:203-204); CMBMapOrder -1 =
+    # the reference's hardcoded order 12 (propagate_to_cmb_from_restart.c:208)
+    WriteRaysAtCMB: int = 1
+    WriteCMBMaps: int = 1
+    CMBMapOrder: int = -1
 
     # point-mass / NFW analytic test parameters (reference raytrace.h fields
     # used by make_lensplanes_pointmass_test)

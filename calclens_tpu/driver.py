@@ -421,7 +421,7 @@ class Raytracer:
                 jnp.asarray(self.ray_nest), pos_d, mass_d,
                 self.cfg.DepositScheme, self.cfg.BornApprx, scal, vacmask,
                 conv_fact, self.sph)
-        elif len(pos) and self._phased_step and self.cfg.DepositScheme != "SPH":
+        elif len(pos) and self._phased_step:
             packed, maps = self._step_profiled(plane_num, pos, mass, scal,
                                                vacmask, with_maps)
         elif len(pos):
@@ -467,7 +467,8 @@ class Raytracer:
         scalar fetch at each boundary is the device sync (block_until_ready
         is unreliable through the axon tunnel)."""
         from .poisson import (phase_deposit, phase_analysis,
-                              phase_synthesis_host, phase_rayside)
+                              phase_analysis_sph, phase_synthesis_host,
+                              phase_rayside)
 
         prof = self.profiler
         row = None
@@ -499,9 +500,17 @@ class Raytracer:
 
         pos_d, mass_d = self._pad_particles(pos, mass)
         density = phase("DEPOSIT", phase_deposit, self.plan, self.tab,
-                        pos_d, mass_d, self.cfg.DepositScheme, scal, vacmask)
-        alm = phase("SHTSOLVE", phase_analysis, self.plan, density,
-                    sync=lambda a: jnp.abs(a[0]))
+                        pos_d, mass_d, self.cfg.DepositScheme, scal, vacmask,
+                        sph=self.sph)
+        if self.cfg.DepositScheme == "SPH":
+            # sigma-bucketed analysis (phase_analysis_sph): per-bucket
+            # map2alm x kernel window, host-looped with a donated alm
+            # accumulator so SPH fits the same HBM envelope as NGP
+            alm = phase("SHTSOLVE", phase_analysis_sph, self.plan, density,
+                        self.sph[:-3], sync=lambda a: jnp.abs(a[0]))
+        else:
+            alm = phase("SHTSOLVE", phase_analysis, self.plan, density,
+                        sync=lambda a: jnp.abs(a[0]))
         del density  # free before the synthesis peak (0.75 GB at NSIDE 4096)
         maps = phase("SHT", phase_synthesis_host, self.plan, alm,
                      sync=lambda m: m[0, :1] if isinstance(m, jnp.ndarray)

@@ -145,10 +145,13 @@ def legacy_rays_to_packed(meta, rays, dtype=np.float32):
 
 
 def write_legacy_restart(output_path, cfg, rays_packed, ray_nest,
-                         current_plane, map_num=0, ntasks=1):
+                         current_plane, map_num=0, ntasks=1,
+                         filename="restart.0"):
     """Export calclens_tpu ray state as a reference-format restart.0 (single
     task) so the reference binary can consume it (the exporter direction of
-    the interop; restart.c write path)."""
+    the interop; restart.c write path).  `filename` overrides the default
+    for the CMB-mode rays-at-CMB export (restart_rays_at_cmb.N, same byte
+    layout, propagate_to_cmb_from_restart.c:389-438)."""
     from ..healpix import core as hp
 
     nest = np.asarray(ray_nest, np.int64)
@@ -205,7 +208,7 @@ def write_legacy_restart(output_path, cfg, rays_packed, ray_nest,
     rec["U"] = packed[16:20].T
     rec["phi"] = packed[20]
 
-    path = os.path.join(output_path, "restart.0")
+    path = os.path.join(output_path, filename)
     with open(path, "wb") as fp:
         fp.write(struct.pack("<ii", ntasks, 1))
         fp.write(bytes(rtd))

@@ -330,11 +330,30 @@ def empty_plane_step(born: bool, rays, scal: PlaneScalars):
 # cross-phase overlap) — enabled only when profiling.
 # ----------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(0, 1, 4))
+@partial(jax.jit, static_argnums=(0, 1, 4), static_argnames=("sph",))
 def phase_deposit(plan: SHTPlan, tab, pos, mass, scheme: str,
-                  scal: PlaneScalars, vacmask=None):
-    """Particles -> scaled surface-density map (DEPOSIT)."""
+                  scal: PlaneScalars, vacmask=None, sph=None):
+    """Particles -> scaled surface-density map (DEPOSIT).
+
+    scheme "SPH" returns the sigma-bucketed [B, npix] maps (the harmonic-
+    smoothing form of the reference's adaptive spline deposit,
+    shtpoissonsolve.c:187-291) for phase_analysis_sph; the other schemes
+    return the flat [npix] map for phase_analysis."""
     pixarea = 4.0 * jnp.pi / plan.npix
+    if scheme == "SPH":
+        *sigmas, csl, min_sl, max_sl = sph
+        sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
+        dens_b = dep.deposit_sph_bucketed(plan.order, pos, mass, sl,
+                                          np.asarray(sigmas), plan.npix,
+                                          tab=tab)
+        dens_b = _cst_blocks(plan, dens_b)
+        dens_b = dep.scale_density(dens_b, scal.densfact, 0.0, pixarea)
+        if vacmask is not None:
+            dens_b = jnp.where(vacmask[None, :], 0.0, dens_b)
+            dens_b = dens_b.at[0].add(
+                jnp.where(vacmask, 0.0, -scal.backdens
+                          * jnp.ones(plan.npix, dens_b.dtype)))
+        return dens_b
     if scheme == "CIC":
         density = dep.deposit_cic(tab, pos, mass)
     else:
@@ -353,6 +372,44 @@ def phase_analysis(plan: SHTPlan, density):
     if plan.window_dev is not None:
         inv = inv * plan.window_dev[:, None]
     return alm * inv.astype(plan.dtype)
+
+
+@partial(jax.jit, static_argnums=0)
+def _sph_first_alm(plan: SHTPlan, density, bl):
+    return T.map2alm(plan, density) * bl[:, None]
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=(1,))
+def _sph_accum_alm(plan: SHTPlan, alm_acc, density, bl):
+    return alm_acc + T.map2alm(plan, density) * bl[:, None]
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=(1,))
+def _poisson_filter(plan: SHTPlan, alm):
+    ls = jnp.arange(plan.nl, dtype=plan.dtype)[:, None]
+    inv = jnp.where(ls > 0, -1.0 / jnp.maximum(ls * (ls + 1.0), 1.0), 0.0)
+    if plan.window_dev is not None:
+        inv = inv * plan.window_dev[:, None]
+    return alm * inv.astype(plan.dtype)
+
+
+def phase_analysis_sph(plan: SHTPlan, dens_b, sigmas):
+    """Bucketed [B, npix] maps -> Poisson-filtered alm (SHTSOLVE, SPH form:
+    per-bucket map2alm x spline-kernel window, summed).  Host-level loop —
+    one jit call per bucket with a donated alm accumulator — so peak HBM is
+    ONE transform's working set above the resident bucketed maps (the same
+    reasoning as the host-streamed synthesis; at order 12 a fused 8-bucket
+    analysis would hold every bucket's ring-stage temporaries at once)."""
+    w2 = dep.pixwin_disc_bl(plan.order, plan.lmax) ** 2
+    alm = None
+    for b, sig in enumerate(sigmas):
+        bl = jnp.asarray(dep.kernel_bl(float(sig), plan.lmax) / w2,
+                         plan.dtype)
+        if alm is None:
+            alm = _sph_first_alm(plan, dens_b[b], bl)
+        else:
+            alm = _sph_accum_alm(plan, alm, dens_b[b], bl)
+    return _poisson_filter(plan, alm)
 
 
 @partial(jax.jit, static_argnums=0)

@@ -55,17 +55,54 @@ def main(argv=None):
         rt.init_rays()
 
     if cfg.CMBLensing:
-        from . import maps as lm
-
-        accum = rt.propagate_to_cmb()
-        conv = lm.convergence_from_accum(accum)
-        out = os.path.join(cfg.OutputPath or ".",
-                           f"Convergence_{1 << lm.CMB_MAP_ORDER}_cmb.fits")
-        lm.write_single_map_fits(conv, 1 << lm.CMB_MAP_ORDER, out)
-        print(f"wrote CMB convergence map {out}", file=sys.stderr)
+        run_cmb_mode(rt)
     else:
         rt.run(start_time=t0)
     return 0
+
+
+def run_cmb_mode(rt):
+    """CMB-lensing mode with the reference's full output set
+    (propagate_to_cmb_from_restart.c:184-492): propagate the restart rays to
+    chi(z=1100), then write
+
+      * restart_rays_at_cmb.0 — the updated rays in the reference restart
+        byte layout (gated by WriteRaysAtCMB; the reference's
+        write_restart_files_for_rays_at_cmb const, :203,389-438);
+      * CMB_convergence_<nside>.fits — per-pixel mean kappa, 0 where no
+        rays land (gated by WriteCMBMaps, :440-480);
+      * CMB_rays_<nside>.fits — the 7-column lens-map sums (:482-492).
+    """
+    import numpy as np
+
+    from . import maps as lm
+    from .io import legacy_restart as lr
+
+    cfg = rt.cfg
+    outdir = cfg.OutputPath or "."
+    os.makedirs(outdir, exist_ok=True)
+    map_order = cfg.CMBMapOrder if cfg.CMBMapOrder >= 0 else lm.CMB_MAP_ORDER
+    nside = 1 << map_order
+
+    accum = rt.propagate_to_cmb(map_order=map_order)
+
+    written = []
+    if cfg.WriteRaysAtCMB:
+        path = lr.write_legacy_restart(
+            outdir, cfg, np.asarray(rt.rays_packed), rt.ray_nest,
+            current_plane=getattr(rt, "current_plane", cfg.NumLensPlanes),
+            filename="restart_rays_at_cmb.0")
+        written.append(path)
+    if cfg.WriteCMBMaps:
+        conv = lm.convergence_from_accum(accum)
+        cpath = os.path.join(outdir, f"CMB_convergence_{nside}.fits")
+        lm.write_single_map_fits(conv, nside, cpath)
+        rpath = os.path.join(outdir, f"CMB_rays_{nside}.fits")
+        lm.write_lens_map_fits(accum, nside, rpath)
+        written += [cpath, rpath]
+    for p in written:
+        print(f"wrote {p}", file=sys.stderr)
+    return written
 
 
 if __name__ == "__main__":

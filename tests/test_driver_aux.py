@@ -241,3 +241,64 @@ def test_run_with_gals_async_matches_sync(tmp_path, monkeypatch):
                                        rtol=0, atol=1e-12, err_msg=c)
         total += len(a[f]["index"])
     assert total >= nsrc * 0.9  # nearly every source imaged once
+
+
+def test_cmb_mode_output_parity(tmp_path):
+    """CMB mode writes the reference's full output set
+    (propagate_to_cmb_from_restart.c:203-205, 389-492): the rays-at-CMB
+    restart-layout file, the single convergence map, and the 7-column ray
+    map — and the rays-at-CMB bytes round-trip through the legacy reader
+    (whose byte layout is validated against the actual reference binary in
+    test_legacy_restart.test_reference_binary_restart_interop)."""
+    from calclens_tpu.io import legacy_restart as lr
+    from calclens_tpu.raytrace import run_cmb_mode
+
+    cfg = _small_cfg(tmp_path, CMBMapOrder=3)
+    pm.make_pointmass_planes(cfg, snap_to_pixel_order=cfg.SHTOrder)
+    os.makedirs(cfg.OutputPath, exist_ok=True)
+    rt = Raytracer(cfg)
+    rt.init_rays()
+    for p in range(cfg.NumLensPlanes):
+        rt.step(p)
+    rt.current_plane = cfg.NumLensPlanes
+
+    written = run_cmb_mode(rt)
+    names = {os.path.basename(p) for p in written}
+    assert names == {"restart_rays_at_cmb.0", "CMB_convergence_8.fits",
+                     "CMB_rays_8.fits"}
+    for p in written:
+        assert os.path.exists(p)
+
+    # rays-at-CMB file: legacy layout, rays at chi(z=1100), bit round-trip
+    meta, _, rays, _ = lr.read_legacy_restart_file(
+        os.path.join(cfg.OutputPath, "restart_rays_at_cmb.0"))
+    assert meta["CurrentPlaneNum"] == cfg.NumLensPlanes
+    packed, nest = lr.legacy_rays_to_packed(meta, rays, dtype=np.float64)
+    np.testing.assert_array_equal(np.sort(nest), np.sort(rt.ray_nest))
+    w_cmb = float(lm.comoving_distance_2f1(1100.0, cfg.OmegaM))
+    np.testing.assert_allclose(np.linalg.norm(packed[0:3], axis=0), w_cmb,
+                               rtol=1e-10)
+
+    # convergence map: kappa = 1 - (A00+A11)/2 per-pixel mean, 0 where
+    # empty, recomputed here from the rays-at-CMB file contents (the
+    # reference lowers each ray's initial nest pixel, maputils.c:140)
+    hdus = fits.read_fits(os.path.join(cfg.OutputPath,
+                                       "CMB_convergence_8.fits"))
+    conv = hdus[1][1]["SIGNAL"]
+    lpix = nest >> (2 * (cfg.rayOrder - 3))
+    npix_map = 12 * 4**3
+    cnt = np.bincount(lpix, minlength=npix_map)
+    a00 = np.bincount(lpix, weights=packed[6], minlength=npix_map)
+    a11 = np.bincount(lpix, weights=packed[9], minlength=npix_map)
+    good = cnt > 0
+    expect = np.where(good,
+                      1.0 - 0.5 * (a00 + a11) / np.where(good, cnt, 1), 0.0)
+    np.testing.assert_allclose(conv, expect.astype(np.float32), rtol=2e-5,
+                               atol=1e-7)
+    assert np.all(conv[~good] == 0.0)
+
+    # 7-column ray map reads back with matching ray counts
+    rhdus = fits.read_fits(os.path.join(cfg.OutputPath, "CMB_rays_8.fits"))
+    rec = rhdus[1][1]
+    assert int(rec["N_RAYS"].sum()) == len(rt.ray_nest)
+    np.testing.assert_array_equal(rec["N_RAYS"], cnt)
