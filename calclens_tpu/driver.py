@@ -299,7 +299,9 @@ class Raytracer:
         decoded to the reference's HEALPixRay fields)."""
         if self.rays_packed is None:
             return None
-        h = np.asarray(self.rays_packed)
+        from .utils.tunnel import fetch
+
+        h = fetch(self.rays_packed)
         from .rays.propagate import Rays
 
         def mat(i):

@@ -198,11 +198,13 @@ def _to_obs_radec(cfg, rays, ray_nest):
 
 def write_rays(cfg, rays, ray_nest, map_num=0):
     """Write all rays to cfg.NumRayOutputFiles FITS files.  Returns paths."""
+    from ..utils.tunnel import fetch
+
     out = _to_obs_radec(cfg, rays, ray_nest)
-    n = np.asarray(out.n, np.float64)
-    A = np.asarray(out.A, np.float64)
-    alpha = np.asarray(out.alpha, np.float64)
-    phi = np.asarray(out.phi, np.float64)
+    n = fetch(out.n).astype(np.float64)
+    A = fetch(out.A).astype(np.float64)
+    alpha = fetch(out.alpha).astype(np.float64)
+    phi = fetch(out.phi).astype(np.float64)
     nest = np.asarray(ray_nest, np.int64)
 
     k2 = 2 * (cfg.rayOrder - cfg.bundleOrder)
@@ -317,8 +319,9 @@ def write_rays_sharded(cfg, rays_packed, ray_nest=None, map_num=0):
         # device-side cross-shard gather of just this file's rows (the
         # reference's sub-communicator send, rayio.c:280-334); only the
         # [10, rows] block reaches the host
-        blk = np.asarray(
-            jax.device_get(_gather_cols(cols, jnp.asarray(idx_f))),
+        from ..utils.tunnel import fetch
+
+        blk = fetch(_gather_cols(cols, jnp.asarray(idx_f))).astype(
             np.float64)
         rec = _make_rec(cfg, nest_f, blk[0:3].T, blk[3], blk[4], blk[5],
                         blk[6], blk[7], blk[8], blk[9])

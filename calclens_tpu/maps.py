@@ -79,7 +79,9 @@ class LensMapAccum(NamedTuple):
         """Device-accumulated [7, npix] rows (count, A00, A01, A10, A11,
         ra, dec) -> host LensMapAccum (the only host transfer of the
         device lens-map path — coarse-map sized, never ray-buffer sized)."""
-        h = np.asarray(stacked, np.float64)
+        from .utils.tunnel import fetch
+
+        h = fetch(stacked).astype(np.float64)
         return cls(np.rint(h[0]).astype(np.int32), h[1], h[2], h[3], h[4],
                    h[5], h[6])
 

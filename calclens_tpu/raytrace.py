@@ -88,8 +88,10 @@ def run_cmb_mode(rt):
 
     written = []
     if cfg.WriteRaysAtCMB:
+        from .utils.tunnel import fetch
+
         path = lr.write_legacy_restart(
-            outdir, cfg, np.asarray(rt.rays_packed), rt.ray_nest,
+            outdir, cfg, fetch(rt.rays_packed), rt.ray_nest,
             current_plane=getattr(rt, "current_plane", cfg.NumLensPlanes),
             filename="restart_rays_at_cmb.0")
         written.append(path)

@@ -30,9 +30,15 @@ def write_restart_orbax(path, cfg, rays_packed, ray_nest, current_plane,
     per-task restart files, restart.c:18-219)."""
     import orbax.checkpoint as ocp
 
+    from .utils.tunnel import _is_axon, fetch
+
     ckptr = ocp.StandardCheckpointer()
+    # the axon dev tunnel cannot move >32 KiB device->host in one message
+    # (orbax's internal transfer hangs); pre-fetch chunked there.  On real
+    # backends the device array is handed to orbax so multi-host runs keep
+    # shard-parallel writes.
     state = {
-        "rays_packed": rays_packed,
+        "rays_packed": fetch(rays_packed) if _is_axon() else rays_packed,
         # empty arrays are unsupported: full-sky (lazy nest view) stores [-1]
         "ray_nest": np.asarray(ray_nest) if ray_nest is not None
         else np.array([-1], np.int64),

@@ -302,3 +302,23 @@ def test_cmb_mode_output_parity(tmp_path):
     rec = rhdus[1][1]
     assert int(rec["N_RAYS"].sum()) == len(rt.ray_nest)
     np.testing.assert_array_equal(rec["N_RAYS"], cnt)
+
+
+def test_tunnel_fetch_chunking(monkeypatch):
+    """utils.tunnel.fetch: chunked device->host transfer must be exact for
+    any shape/dtype when forced down the chunking path (the axon tunnel's
+    32 KiB message cap; a plain asarray elsewhere)."""
+    import jax.numpy as jnp
+    from calclens_tpu.utils import tunnel
+
+    monkeypatch.setattr(tunnel, "_is_axon", lambda: True)
+    rng = np.random.default_rng(3)
+    for shape, dt in (((21, 3001), np.float32), ((777,), np.int64),
+                      ((5, 7, 11), np.float64)):
+        h = (rng.normal(size=shape) * 100).astype(dt)
+        d = jnp.asarray(h)
+        got = tunnel.fetch(d, max_bytes=256)  # force many chunks
+        assert got.dtype == h.dtype and got.shape == h.shape
+        np.testing.assert_array_equal(got, np.asarray(d))
+    # host arrays pass through untouched
+    np.testing.assert_array_equal(tunnel.fetch(np.arange(5)), np.arange(5))
