@@ -74,6 +74,27 @@ def main():
             return gs.find_images(cfg, tables, rt.rays_packed, pos, idx,
                                   pp.rad, pp.rad_minus1, chunk=4096,
                                   nest2index=tables.ring_of_nest)
+    elif mode == "sharded":
+        # mesh path (find_images_sharded): rays block-sharded over every
+        # available device with the fixed ray-halo exchange.  On one real
+        # TPU chip this degenerates to a 1-device mesh; the multi-device
+        # numbers come from the 8-virtual-CPU mesh (JAX_PLATFORMS=cpu
+        # XLA_FLAGS=--xla_force_host_platform_device_count=8), the same
+        # emulation the MULTICHIP gate uses.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from calclens_tpu.healpix import jaxhp
+        from calclens_tpu.parallel.sharding import AXIS, make_mesh
+
+        mesh = make_mesh(len(jax.devices()))
+        tab = jaxhp.InterpTables(cfg.rayOrder)
+        rt.rays_packed = jax.device_put(
+            rt.rays_packed, NamedSharding(mesh, P(None, AXIS)))
+
+        def run(pos, idx):
+            return gs.find_images_sharded(cfg, tab, rt.rays_packed, pos,
+                                          idx, pp.rad, pp.rad_minus1, mesh,
+                                          chunk=chunk, topk=topk)
     else:
         tab = jaxhp.InterpTables(cfg.rayOrder)
 
