@@ -183,6 +183,7 @@ def _solve_maps(plan, tab, pos, mass, scheme, scal, vacmask, sph):
         dens_b = dep.deposit_sph_bucketed(plan.order, pos, mass, sl,
                                           np.asarray(sigmas), plan.npix,
                                           tab=tab)
+        dens_b = _cst_blocks(plan, dens_b)
         dens_b = dep.scale_density(dens_b, scal.densfact, 0.0, pixarea)
         if vacmask is not None:
             dens_b = jnp.where(vacmask[None, :], 0.0, dens_b)
