@@ -296,22 +296,117 @@ def _tangent_basis(nhat):
     return that, phat
 
 
+def _deposit_patches_sharded(setup: MGSetup, spec, pos, mass, densfact,
+                             backdens, sl=None, sigmas=None):
+    """Mesh deposit: each device scatters ONLY its particle shard into a
+    full-C partial grid, one psum_scatter reduces it straight onto the patch
+    owners ([C/n, N, N] per device) and the per-patch finish (kernel conv,
+    scale) runs on the shards.  This is the reference's particle exchange
+    (mgpoissonsolve.c:59-123) as a single collective: n-fold less scatter
+    compute AND no replicated [C, N, N] all-reduce — GSPMD alone chooses to
+    all-gather the particles instead (measured), which is wrong at
+    production particle counts."""
+    from jax.sharding import PartitionSpec as P
+    from .parallel.sharding import AXIS
+
+    lev = setup.levels[0]
+    mesh = spec.mesh
+    cosf_np = np.asarray(lev.cosfacs)
+
+    if sl is None:
+        def body(pos_l, mass_l, df, bd):
+            g = _cic_patch_mass(setup, pos_l, mass_l)
+            g = jax.lax.psum_scatter(g, AXIS, scatter_dimension=0, tiled=True)
+            cosf = jnp.asarray(cosf_np, pos_l.dtype)[None, :, None]
+            return g / (lev.dL * cosf) * df - bd
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(), P()),
+            out_specs=P(AXIS))(pos, mass, densfact, backdens)
+
+    B = len(sigmas)
+    logsig_np = np.log(np.asarray(sigmas, np.float64))
+
+    def body_sph(pos_l, mass_l, sl_l, df, bd):
+        logsig = jnp.asarray(logsig_np, sl_l.dtype)
+        hi = jnp.clip(jnp.searchsorted(logsig, jnp.log(sl_l)), 1, B - 1)
+        lo = hi - 1
+        t = jnp.clip((jnp.log(sl_l) - logsig[lo])
+                     / (logsig[hi] - logsig[lo]), 0.0, 1.0)
+        grid = 0.0
+        for b, sig in enumerate(sigmas):
+            wb = mass_l * jnp.where(lo == b, 1.0 - t, 0.0) + \
+                mass_l * jnp.where(hi == b, t, 0.0)
+            gb = _cic_patch_mass(setup, pos_l, wb)
+            gb = jax.lax.psum_scatter(gb, AXIS, scatter_dimension=0,
+                                      tiled=True)
+            stamp = _kernel_stamp(float(sig), lev.dL, pos_l.dtype)
+            grid = grid + jax.lax.conv_general_dilated(
+                gb[:, None], stamp[None, None], (1, 1), "SAME")[:, 0]
+        cosf = jnp.asarray(cosf_np, pos_l.dtype)[None, :, None]
+        return grid / (lev.dL * cosf) * df - bd
+
+    return jax.shard_map(
+        body_sph, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
+        out_specs=P(AXIS))(pos, mass, sl, densfact, backdens)
+
+
+def _cst_patch(spec, x, replicate=False):
+    """Constrain the leading patch-batch axis [C, ...] to the mesh axis
+    (no-op off-mesh or when C doesn't tile).  This is the TPU form of the
+    reference's per-task bundle-cell ownership (mgpoissonsolve.c:59-123):
+    each device deposits its particle shard into a full-C partial grid, the
+    constraint turns the combine into a reduce-scatter, and every FAS cycle
+    then runs on C/n patches per device with no communication (patches are
+    independent given their BCs).  replicate=True marks the one exchange the
+    reference also pays — the solved patch potentials travel to the rays
+    that need them (a [C, N, N] all-gather: a few MB, vs the reference's
+    per-ray buffer exchange, mgpoissonsolve.c:1150-1346)."""
+    if spec is None or x.shape[0] % spec.mesh.devices.size != 0:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel.sharding import AXIS
+
+    sp = P() if replicate else P(AXIS, *((None,) * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(spec.mesh, sp))
+
+
 def mg_refine(setup: MGSetup, tab, rays, ray_nest, ray_order, potmap,
-              pos, mass, densfact, backdens, conv_fact=-1.0, sl=None):
+              pos, mass, densfact, backdens, conv_fact=-1.0, sl=None,
+              spec=None):
     """Full refinement: deposit, BC fill, batched FAS solve, ray update.
 
     potmap: RING-ordered SHT potential map (long range / boundary data).
     Sets phi and ADDS alpha/U from the patch solution (the rays enter with
     zeroed per-plane fields in non-SHTONLY mode).  sl (per-particle angular
     smoothing lengths) switches the patch deposit to the spline kernel
-    (fill_rho_mggrid analog); conv_fact > 0 enables MGConvFact stopping."""
-    if sl is not None:
+    (fill_rho_mggrid analog); conv_fact > 0 enables MGConvFact stopping.
+
+    spec (a parallel.sharding.ShardingPlan) shards the patch batch over the
+    mesh: deposit reduce-scatters into C-sharded rho, the BC fill and every
+    FAS cycle run C/n patches per device, and only the solved [C, N, N]
+    potential is all-gathered for the ray-side interpolation (see
+    _cst_patch).  The long-range potmap stays replicated — in non-SHTONLY
+    mode the SHT order is low (MG supplies the small scales), so the map is
+    small by design (poissondrivers.c:64-75)."""
+    sharded = (spec is not None
+               and setup.C % spec.mesh.devices.size == 0
+               and pos.shape[0] % spec.mesh.devices.size == 0)
+    if sharded:
+        rho = _deposit_patches_sharded(setup, spec, pos, mass, densfact,
+                                       backdens, sl=sl,
+                                       sigmas=setup.sph_sigmas)
+    elif sl is not None:
         rho = deposit_patches_sph(setup, pos, mass, sl, densfact, backdens,
                                   setup.sph_sigmas)
     else:
         rho = deposit_patches(setup, pos, mass, densfact, backdens)
-    u0 = fill_u_from_map(setup, tab, potmap)
+    rho = _cst_patch(spec, rho)
+    u0 = _cst_patch(spec, fill_u_from_map(setup, tab, potmap))
     u = solve_patches(setup, u0, rho, conv_fact)
+    u = _cst_patch(spec, u, replicate=True)
     shift = 2 * (ray_order - setup.bundle_order)
     cell_nest = (jnp.asarray(ray_nest) >> shift).astype(jnp.int32)
     pot, grad, hess = interp_derivs_to_rays(setup, u, rays.n, cell_nest)

@@ -293,6 +293,7 @@ def plane_step_mg(plan: SHTPlan, tab: jaxhp.InterpTables, mgsetup, packed,
         density = dep.deposit_cic(tab, pos, mass)
     else:
         density = dep.deposit_ngp(plan.order, pos, mass, plan.npix)
+    density = _cst_blocks(plan, density)
     pixarea = 4.0 * jnp.pi / plan.npix
     density = dep.scale_density(density, scal.densfact, scal.backdens,
                                 pixarea, vacmask)
@@ -308,7 +309,8 @@ def plane_step_mg(plan: SHTPlan, tab: jaxhp.InterpTables, mgsetup, packed,
         sl = dep.smoothing_lengths(pos, csl, min_sl, max_sl)
     rays = mgdriver.mg_refine(
         mgsetup, tab, rays, ray_nest, mgsetup.ray_order, potmap,
-        pos, mass, scal.densfact, scal.backdens, conv_fact=conv_fact, sl=sl)
+        pos, mass, scal.densfact, scal.backdens, conv_fact=conv_fact, sl=sl,
+        spec=plan.spec)
     out = soa.pack(rays)
     return soa.chunked(
         lambda b: soa.prop_only_chunk(b, scal.wp, scal.wpm1, scal.wpm2, born),
