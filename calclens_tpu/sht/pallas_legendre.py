@@ -374,27 +374,53 @@ def _analysis_kernel(nl, LB, TM, TJ, RS,
         bnum = jnp.maximum((lf_blk - 1.0 - mf) * (lf_blk - 1.0 + mf), 0.0)
         bden = jnp.maximum((2.0 * lf_blk - 3.0) * (2.0 * lf_blk - 1.0), 1.0)
         b_blk = jnp.sqrt(bnum / bden)
-        pp = pp_ref[...]
-        pc = pc_ref[...]
-        k = k_ref[...]
-        for w in range(LB // RS):
-            corfac = jnp.where(k == 0, 1.0,
-                               jnp.where(k == -1, _RESC, 0.0))
-            base = w * RS
-            for r in range(RS):  # l parity == r parity (RS, LB even)
-                a = a_blk[:, base + r: base + r + 1]
-                b = b_blk[:, base + r: base + r + 1]
+
+        def careful_sweep():
+            pp = pp_ref[...]
+            pc = pc_ref[...]
+            k = k_ref[...]
+            for w in range(LB // RS):
+                corfac = jnp.where(k == 0, 1.0,
+                                   jnp.where(k == -1, _RESC, 0.0))
+                base = w * RS
+                for r in range(RS):  # l parity == r parity (RS, LB even)
+                    a = a_blk[:, base + r: base + r + 1]
+                    b = b_blk[:, base + r: base + r + 1]
+                    new = a * (cth * pc - b * pp)
+                    _accum(base + r, new * corfac, (r % 2) == 0)
+                    pp, pc = pc, new
+                big = jnp.maximum(jnp.abs(pc), jnp.abs(pp)) > _TH_BIG
+                scale = jnp.where(big, _RESC, 1.0)
+                pp = pp * scale
+                pc = pc * scale
+                k = k + big.astype(jnp.int32)
+            pp_ref[...] = pp
+            pc_ref[...] = pc
+            k_ref[...] = k
+
+        # once every element is at the asymptotic scale (k == 0), lam == p
+        # exactly and the rescale check cannot fire (|lam| <= max|Y_lm| ~ 44
+        # at lmax 12288 << 2^32): the bare branch computes exactly the same
+        # values minus the corfac multiply and window checks (same measured
+        # lever as the synthesis MX kernel's fast path)
+        steady = jnp.all(k_ref[...] == 0)
+
+        @pl.when(steady)
+        def _bare_sweep():
+            pp = pp_ref[...]
+            pc = pc_ref[...]
+            for i in range(LB):
+                a = a_blk[:, i: i + 1]
+                b = b_blk[:, i: i + 1]
                 new = a * (cth * pc - b * pp)
-                _accum(base + r, new * corfac, (r % 2) == 0)
+                _accum(i, new, (i % 2) == 0)
                 pp, pc = pc, new
-            big = jnp.maximum(jnp.abs(pc), jnp.abs(pp)) > _TH_BIG
-            scale = jnp.where(big, _RESC, 1.0)
-            pp = pp * scale
-            pc = pc * scale
-            k = k + big.astype(jnp.int32)
-        pp_ref[...] = pp
-        pc_ref[...] = pc
-        k_ref[...] = k
+            pp_ref[...] = pp
+            pc_ref[...] = pc
+
+        @pl.when(jnp.logical_not(steady))
+        def _careful():
+            careful_sweep()
 
 
 @partial(jax.jit, static_argnums=(0, 8), static_argnames=("interpret",))

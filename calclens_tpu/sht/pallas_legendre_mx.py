@@ -60,6 +60,19 @@ _MX_PRECISION = {
     "DEFAULT": jax.lax.Precision.DEFAULT,
 }[_os.environ.get("CALCLENS_MX_PRECISION", "HIGHEST")]
 
+# Fast-block corfac skip: once every element of the tile has reached the
+# asymptotic scale (k == 0), lam == p exactly — the per-degree corfac
+# multiply is the identity and the per-window rescale check cannot fire
+# (|lam| <= max|Y| ~ m^(1/4) << 2^32).  A per-window scalar predicate
+# switches to a bare 3-op recurrence + store.  No accuracy change: the
+# skipped path computes exactly the same values.
+_MX_CORFAC_SKIP = _os.environ.get("CALCLENS_MX_CORFAC_SKIP", "1") == "1"
+
+# Batched stream contraction: one dot_general with a TM batch dimension
+# instead of TM separate [ncol, LB] x [LB, TJ] dots (fewer, larger MXU
+# dispatches).  Overridable for benchmarking.
+_MX_BATCHED_DOT = _os.environ.get("CALCLENS_MX_BATCHED_DOT", "0") == "1"
+
 
 def _logc_table(nm_pad: int) -> np.ndarray:
     """C[m] = 0.5 * ln((2m+1)!!/(2m)!!) replicated to 128 lanes."""
@@ -108,7 +121,7 @@ def _lam_step(l_int, mf, m_vec, cth, pp, pc, k, seedval, seedk):
     return prev, new, k_new, new * corfac
 
 
-def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
+def _synth_mx_kernel(LB, TM, TJ, ncol, RS, corfac_skip, batched_dot,
                      are_ref, aim_ref, hre_ref, him_ref, geo_ref, logc_ref,
                      out_ref,
                      p_scr, pp_ref, pc_ref, k_ref):
@@ -180,28 +193,56 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
         bnum = jnp.maximum((lf_blk - 1.0 - mf) * (lf_blk - 1.0 + mf), 0.0)
         bden = jnp.maximum((2.0 * lf_blk - 3.0) * (2.0 * lf_blk - 1.0), 1.0)
         b_blk = jnp.sqrt(bnum / bden)
-        pp = pp_ref[...]
-        pc = pc_ref[...]
-        k = k_ref[...]
-        for w in range(LB // RS):
-            corfac = jnp.where(k == 0, 1.0,
-                               jnp.where(k == -1, _RESC, 0.0))
-            base = w * RS
-            for r in range(RS):
-                a = a_blk[:, base + r: base + r + 1]
-                b = b_blk[:, base + r: base + r + 1]
-                new = a * (cth * pc - b * pp)
-                p_scr[:, base + r: base + r + 1, :] = \
-                    (new * corfac)[:, None, :]
-                pp, pc = pc, new
-            big = jnp.maximum(jnp.abs(pc), jnp.abs(pp)) > _TH_BIG
-            scale = jnp.where(big, _RESC, 1.0)
-            pp = pp * scale
-            pc = pc * scale
-            k = k + big.astype(jnp.int32)
-        pp_ref[...] = pp
-        pc_ref[...] = pc
-        k_ref[...] = k
+
+        def careful_sweep():
+            pp = pp_ref[...]
+            pc = pc_ref[...]
+            k = k_ref[...]
+            for w in range(LB // RS):
+                corfac = jnp.where(k == 0, 1.0,
+                                   jnp.where(k == -1, _RESC, 0.0))
+                base = w * RS
+                for r in range(RS):
+                    a = a_blk[:, base + r: base + r + 1]
+                    b = b_blk[:, base + r: base + r + 1]
+                    new = a * (cth * pc - b * pp)
+                    p_scr[:, base + r: base + r + 1, :] = \
+                        (new * corfac)[:, None, :]
+                    pp, pc = pc, new
+                big = jnp.maximum(jnp.abs(pc), jnp.abs(pp)) > _TH_BIG
+                scale = jnp.where(big, _RESC, 1.0)
+                pp = pp * scale
+                pc = pc * scale
+                k = k + big.astype(jnp.int32)
+            pp_ref[...] = pp
+            pc_ref[...] = pc
+            k_ref[...] = k
+
+        if not corfac_skip:
+            careful_sweep()
+        else:
+            # once every element is at the asymptotic scale (k == 0),
+            # lam == p exactly and the rescale check cannot fire
+            # (|lam| <= max|Y_lm| ~ 44 at lmax 12288 << 2^32): a bare
+            # 3-op recurrence + store computes exactly the same values
+            steady = jnp.all(k_ref[...] == 0)
+
+            @pl.when(steady)
+            def _bare_sweep():
+                pp = pp_ref[...]
+                pc = pc_ref[...]
+                for i in range(LB):
+                    a = a_blk[:, i: i + 1]
+                    b = b_blk[:, i: i + 1]
+                    new = a * (cth * pc - b * pp)
+                    p_scr[:, i: i + 1, :] = new[:, None, :]
+                    pp, pc = pc, new
+                pp_ref[...] = pp
+                pc_ref[...] = pc
+
+            @pl.when(jnp.logical_not(steady))
+            def _careful():
+                careful_sweep()
 
     @pl.when(lb >= lb_act)
     def _compute():
@@ -214,6 +255,29 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
         lf_row = l_row.astype(jnp.float32)
         l2_row = lf_row * (lf_row + 1.0)
         sgn_row = 1.0 - 2.0 * (l_row % 2).astype(jnp.float32)  # (-1)^l
+        if batched_dot:
+            def col(x):
+                return x[:, None, :]  # [TM, 1, LB]
+            a_re = are_ref[...]
+            a_im = aim_ref[...]
+            if ncol == 16:
+                h_re = hre_ref[...]
+                h_im = him_ref[...]
+                S8 = jnp.concatenate(
+                    [col(a_re), col(a_im),
+                     col(a_re * lf_row), col(a_im * lf_row),
+                     col(h_re), col(h_im),
+                     col(a_re * l2_row), col(a_im * l2_row)], axis=1)
+                S = jnp.concatenate([S8, S8 * sgn_row[:, None, :]], axis=1)
+            else:
+                S = jnp.concatenate(
+                    [col(a_re), col(a_im),
+                     col(a_re * sgn_row), col(a_im * sgn_row)], axis=1)
+            out_ref[...] += jax.lax.dot_general(
+                S, p_scr[...], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=_MX_PRECISION)
+            return
         for mm in range(TM):
             a_re = are_ref[mm: mm + 1, :]
             a_im = aim_ref[mm: mm + 1, :]
@@ -240,10 +304,10 @@ def _synth_mx_kernel(LB, TM, TJ, ncol, RS,
 
 @partial(jax.jit, static_argnums=(0, 6))
 def _synth_mx_raw(plan_key, are, aim, hre, him, geo, ncol):
-    nl_pad, nm_pad, J_pad, LB, TM, TJ, RS = plan_key
+    nl_pad, nm_pad, J_pad, LB, TM, TJ, RS, cskip, bdot = plan_key
     grid = (nm_pad // TM, J_pad // TJ, nl_pad // LB)
     logc = jnp.asarray(_logc_table(nm_pad))
-    kern = partial(_synth_mx_kernel, LB, TM, TJ, ncol, RS)
+    kern = partial(_synth_mx_kernel, LB, TM, TJ, ncol, RS, cskip, bdot)
     # alm streams arrive TRANSPOSED [nm_pad, nl_pad]: (TM, LB) = (8, 128)
     # blocks satisfy Mosaic's (8, 128)-divisibility, and l-on-lanes lets the
     # kernel build the stream matrix from sublane rows without transposes
@@ -321,6 +385,12 @@ def mx_prep(nl: int, nm: int, alm, derivs: bool, TM=16, LB=128):
     return prep(ar), prep(ai), prep(hr), prep(hi)
 
 
+# tile-shape overrides for benchmarking (tools/mb_mx.py sweeps)
+_MX_TM = int(_os.environ.get("CALCLENS_MX_TM", "0")) or None
+_MX_TJ = int(_os.environ.get("CALCLENS_MX_TJ", "0")) or None
+_MX_RS = int(_os.environ.get("CALCLENS_MX_RS", "0")) or None
+
+
 def synthesis_pallas_mx(plan, alm, derivs: bool, TM=16, TJ=512, LB=128,
                         prepped=None, RS=8, mcut=None):
     """MXU Legendre synthesis: drop-in for transforms.legendre_synthesis.
@@ -331,6 +401,9 @@ def synthesis_pallas_mx(plan, alm, derivs: bool, TM=16, TJ=512, LB=128,
     dimension: columns m >= mcut are below f32 significance for every ring
     of this plan/view, so their rows are zero-filled instead of computed —
     polar j-blocks of the streamed synthesis skip most of the sweep."""
+    TM = _MX_TM or TM
+    TJ = _MX_TJ or TJ
+    RS = _MX_RS or RS
     nl, nm, J = plan.nl, plan.nm, plan.J
     nm_eff = nm if mcut is None else min(nm, int(mcut))
     TJ = min(TJ, max(-(-J // 128) * 128, 128))
@@ -345,7 +418,8 @@ def synthesis_pallas_mx(plan, alm, derivs: bool, TM=16, TJ=512, LB=128,
         prepped = tuple(x[:nm_pad] for x in prepped)
 
     geo = _geo_rows(plan, J_pad)
-    key = (nl_pad, nm_pad, J_pad, LB, TM, TJ, RS)
+    key = (nl_pad, nm_pad, J_pad, LB, TM, TJ, RS,
+           _MX_CORFAC_SKIP, _MX_BATCHED_DOT)
     c = _synth_mx_raw(key, *prepped, geo, ncol)
     c = c[:nm_eff, :, :J]  # [nm_eff, ncol, J]
     if nm_eff < nm:
