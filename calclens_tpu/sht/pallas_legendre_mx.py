@@ -361,7 +361,7 @@ def _dfac_rows(nl, nm):
     return jnp.sqrt(num / den)
 
 
-def mx_prep(nl: int, nm: int, alm, derivs: bool, TM=16, LB=128):
+def mx_prep(nl: int, nm: int, alm, derivs: bool, TM=32, LB=128):
     """alm -> the four padded TRANSPOSED stream arrays [nm_pad, nl_pad]
     (a_re, a_im, h_re, h_im with h = d_{l+1} a_{l+1}).  Split out so the
     host-streamed synthesis preps ONCE instead of once per j-block (~2.3 GB
@@ -391,7 +391,7 @@ _MX_TJ = int(_os.environ.get("CALCLENS_MX_TJ", "0")) or None
 _MX_RS = int(_os.environ.get("CALCLENS_MX_RS", "0")) or None
 
 
-def synthesis_pallas_mx(plan, alm, derivs: bool, TM=16, TJ=512, LB=128,
+def synthesis_pallas_mx(plan, alm, derivs: bool, TM=32, TJ=512, LB=128,
                         prepped=None, RS=8, mcut=None):
     """MXU Legendre synthesis: drop-in for transforms.legendre_synthesis.
 
