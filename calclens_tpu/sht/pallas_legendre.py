@@ -464,12 +464,223 @@ def _analysis_alm(plan_key, mcut, ere, eim, ore, oim, geo, logc, nl,
     )(mcut, ere, eim, ore, oim, geo, logc)
 
 
+# ---------------------------------------------------------------------------
+# analysis, MXU-contraction variant: the VPU version above pays ~8 ops per
+# (l, m, j) element in per-degree multiply + cross-lane reductions; this
+# variant stores the lambda tile to VMEM scratch (exactly like the MX
+# synthesis kernel) and replaces all accumulation with ONE batched MXU dot
+# per (m-tile, j-tile, l-block).  alm comes out TRANSPOSED [nm, nl] so the
+# output block is [TM, LB] (m rows accumulate where the dot's batch dim
+# already is); the wrapper transposes once at the end.
+# ---------------------------------------------------------------------------
+
+def _analysis_dot_kernel(nl, LB, TM, TJ, RS, prec,
+                         mcut_ref, ere_ref, eim_ref, ore_ref, oim_ref,
+                         geo_ref, logc_ref,
+                         almre_ref, almim_ref,
+                         s0re, s0im, s1re, s1im,
+                         p_scr, pp_ref, pc_ref, k_ref):
+    """Grid (m_tiles, j_tiles, l_blocks); alm output blocks [TM, LB] of the
+    TRANSPOSED [nm_pad, nl_pad] arrays, accumulated across the j grid dim.
+
+    Same lambda fast-path structure as the VPU kernel (seed block careful,
+    later blocks bare-3-op once every element reaches the asymptotic scale)
+    but each degree only STORES lambda into p_scr; the parity-resolved
+    source contraction moves to the MXU: R[TM, LB, 4] = p_scr . {s0, s1}
+    with rows selected by l parity afterwards (LB even => row i of this
+    block has l parity i % 2)."""
+    ji = pl.program_id(1)
+    lb = pl.program_id(2)
+
+    cth = geo_ref[0:1, :]
+    ln_sth = geo_ref[4:5, :]
+
+    mi = pl.program_id(0)
+    lb_act = (mi * TM) // LB
+    m_vec = (mi * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0))
+    mf = m_vec.astype(jnp.float32)
+    m_even = (m_vec % 2) == 0
+    active = (mi * TM) < mcut_ref[0, ji]
+
+    @pl.when((lb == lb_act) & active)
+    def _init():
+        s0re[...] = jnp.where(m_even, ere_ref[...], ore_ref[...])
+        s0im[...] = jnp.where(m_even, eim_ref[...], oim_ref[...])
+        s1re[...] = jnp.where(m_even, ore_ref[...], ere_ref[...])
+        s1im[...] = jnp.where(m_even, oim_ref[...], eim_ref[...])
+
+    @pl.when(ji == 0)
+    def _zero_out():
+        almre_ref[...] = jnp.zeros_like(almre_ref)
+        almim_ref[...] = jnp.zeros_like(almim_ref)
+
+    @pl.when((lb == lb_act) & active)
+    def _seed_block():
+        log2lam = (logc_ref[:, 0:1] + mf * ln_sth
+                   - 1.2655121234846454) * 1.4426950408889634
+        kf = jnp.floor((log2lam + 32.0) * (1.0 / 64.0))
+        seedval = jnp.exp2(log2lam - 64.0 * kf)
+        seedk = kf.astype(jnp.int32)
+
+        pp_ref[...] = jnp.zeros_like(pp_ref)
+        pc_ref[...] = jnp.zeros_like(pc_ref)
+        k_ref[...] = jnp.zeros_like(k_ref)
+
+        def body(i, _):
+            l_int = lb * LB + i
+            lf = l_int.astype(jnp.float32)
+            pp = pp_ref[...]
+            pc = pc_ref[...]
+            k = k_ref[...]
+
+            a, b = _row_coeffs(lf, mf)
+            new = a * (cth * pc - b * pp)
+
+            seed_row = m_vec == l_int
+            inactive = m_vec > l_int
+            new = jnp.where(seed_row, seedval, jnp.where(inactive, 0.0, new))
+            prev = jnp.where(seed_row | inactive, 0.0, pc)
+            k_new = jnp.where(seed_row, seedk, k)
+
+            big = jnp.abs(new) > _TH_BIG
+            new = jnp.where(big, new * _RESC, new)
+            prev = jnp.where(big, prev * _RESC, prev)
+            k_new = k_new + big.astype(jnp.int32)
+
+            corfac = jnp.where(k_new == 0, 1.0,
+                               jnp.where(k_new == -1, _RESC, 0.0))
+            p_scr[:, pl.ds(i, 1), :] = (new * corfac)[:, None, :]
+            pp_ref[...] = prev
+            pc_ref[...] = new
+            k_ref[...] = k_new
+            return 0
+
+        jax.lax.fori_loop(0, LB, body, 0)
+
+    @pl.when((lb > lb_act) & active)
+    def _fast_blocks():
+        lf_blk = (lb * LB
+                  + jax.lax.broadcasted_iota(jnp.int32, (TM, LB), 1)
+                  ).astype(jnp.float32)
+        den = jnp.maximum((lf_blk - mf) * (lf_blk + mf), 1.0)
+        a_blk = jnp.sqrt((2.0 * lf_blk - 1.0) * (2.0 * lf_blk + 1.0) / den)
+        bnum = jnp.maximum((lf_blk - 1.0 - mf) * (lf_blk - 1.0 + mf), 0.0)
+        bden = jnp.maximum((2.0 * lf_blk - 3.0) * (2.0 * lf_blk - 1.0), 1.0)
+        b_blk = jnp.sqrt(bnum / bden)
+
+        def careful_sweep():
+            pp = pp_ref[...]
+            pc = pc_ref[...]
+            k = k_ref[...]
+            for w in range(LB // RS):
+                corfac = jnp.where(k == 0, 1.0,
+                                   jnp.where(k == -1, _RESC, 0.0))
+                base = w * RS
+                for r in range(RS):
+                    a = a_blk[:, base + r: base + r + 1]
+                    b = b_blk[:, base + r: base + r + 1]
+                    new = a * (cth * pc - b * pp)
+                    p_scr[:, base + r: base + r + 1, :] = \
+                        (new * corfac)[:, None, :]
+                    pp, pc = pc, new
+                big = jnp.maximum(jnp.abs(pc), jnp.abs(pp)) > _TH_BIG
+                scale = jnp.where(big, _RESC, 1.0)
+                pp = pp * scale
+                pc = pc * scale
+                k = k + big.astype(jnp.int32)
+            pp_ref[...] = pp
+            pc_ref[...] = pc
+            k_ref[...] = k
+
+        steady = jnp.all(k_ref[...] == 0)
+
+        @pl.when(steady)
+        def _bare_sweep():
+            pp = pp_ref[...]
+            pc = pc_ref[...]
+            for i in range(LB):
+                a = a_blk[:, i: i + 1]
+                b = b_blk[:, i: i + 1]
+                new = a * (cth * pc - b * pp)
+                p_scr[:, i: i + 1, :] = new[:, None, :]
+                pp, pc = pc, new
+            pp_ref[...] = pp
+            pc_ref[...] = pc
+
+        @pl.when(jnp.logical_not(steady))
+        def _careful():
+            careful_sweep()
+
+    @pl.when((lb >= lb_act) & active)
+    def _contract():
+        S4 = jnp.concatenate(
+            [s0re[...][:, None, :], s0im[...][:, None, :],
+             s1re[...][:, None, :], s1im[...][:, None, :]],
+            axis=1)  # [TM, 4, TJ]
+        R = jax.lax.dot_general(
+            p_scr[...], S4, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec)  # [TM, LB, 4]
+        l_even = (jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1) % 2) == 0
+        almre_ref[...] += jnp.where(l_even, R[:, :, 0], R[:, :, 2])
+        almim_ref[...] += jnp.where(l_even, R[:, :, 1], R[:, :, 3])
+
+
+@partial(jax.jit, static_argnums=(0, 8), static_argnames=("interpret",))
+def _analysis_alm_dot(plan_key, mcut, ere, eim, ore, oim, geo, logc, nl,
+                      interpret=False):
+    from .pallas_legendre_mx import _MX_PRECISION
+
+    nl_pad, nm_pad, J_pad, LB, TM, TJ, RS = plan_key
+    grid = (nm_pad // TM, J_pad // TJ, nl_pad // LB)
+    kern = partial(_analysis_dot_kernel, nl, LB, TM, TJ, RS, _MX_PRECISION)
+    eo_spec = pl.BlockSpec((TM, TJ), lambda m, j, lb: (m, j),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((TM, LB), lambda m, j, lb: (m, lb),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  eo_spec, eo_spec, eo_spec, eo_spec,
+                  pl.BlockSpec((5, TJ), lambda m, j, lb: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TM, 128), lambda m, j, lb: (m, 0),
+                               memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((nm_pad, nl_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((nm_pad, nl_pad), jnp.float32)],
+        out_specs=[out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, LB, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.float32),
+            pltpu.VMEM((TM, TJ), jnp.int32),
+        ],
+    )(mcut, ere, eim, ore, oim, geo, logc)
+
+
+import os as _os
+
+_ANA_DOT = _os.environ.get("CALCLENS_ANA_DOT", "0") == "1"
+
+
 def analysis_pallas(plan, E, O, TM=128, TJ=512, LB=256, RS=8):
     """Drop-in replacement for transforms.legendre_analysis on TPU.
 
     E, O [nm, J] complex (quadrature-folded even/odd ring pairs) -> alm
     [nl, nm] complex64.
+
+    CALCLENS_ANA_DOT=1 switches to the MXU-contraction variant (lambda tile
+    stored to scratch + one batched dot per l-block, _analysis_dot_kernel)
+    with its own tile shapes TM=32, LB=128.
     """
+    if _ANA_DOT:
+        TM, LB = min(TM, 32), min(LB, 128)
     from .pallas_legendre_mx import _logc_table
 
     nl, nm, J = plan.nl, plan.nm, plan.J
@@ -505,6 +716,12 @@ def analysis_pallas(plan, E, O, TM=128, TJ=512, LB=256, RS=8):
         else:
             mcuts[0, t] = 0  # pure padding tile
     key = (nl_pad, nm_pad, J_pad, LB, TM, TJ, RS)
+    if _ANA_DOT:
+        almreT, almimT = _analysis_alm_dot(
+            key, jnp.asarray(mcuts), prep(jnp.real(E)), prep(jnp.imag(E)),
+            prep(jnp.real(O)), prep(jnp.imag(O)), geo, logc, nl)
+        return (almreT[:nm, :nl].T
+                + 1j * almimT[:nm, :nl].T).astype(plan.cdtype)
     almre, almim = _analysis_alm(
         key, jnp.asarray(mcuts), prep(jnp.real(E)), prep(jnp.imag(E)),
         prep(jnp.real(O)), prep(jnp.imag(O)), geo, logc, nl)

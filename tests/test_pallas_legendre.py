@@ -43,3 +43,23 @@ def test_analysis_matches_scan():
         alm_p = PL.analysis_pallas(plan, E, O, TM=8, TJ=128, LB=16)
     sc = np.max(np.abs(np.asarray(alm_ref)))
     assert np.max(np.abs(np.asarray(alm_p) - np.asarray(alm_ref))) < 5e-6 * sc
+
+
+def test_analysis_dot_matches_scan():
+    """MXU-contraction analysis variant (CALCLENS_ANA_DOT) vs the scan."""
+    plan = _plan()
+    rng = np.random.default_rng(2)
+    E = jnp.asarray((rng.normal(size=(plan.nm, plan.J))
+                     + 1j * rng.normal(size=(plan.nm, plan.J))).astype(np.complex64))
+    O = jnp.asarray((rng.normal(size=(plan.nm, plan.J))
+                     + 1j * rng.normal(size=(plan.nm, plan.J))).astype(np.complex64))
+    alm_ref = T.legendre_analysis(plan, E, O)
+    prev = PL._ANA_DOT
+    PL._ANA_DOT = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            alm_p = PL.analysis_pallas(plan, E, O, TM=8, TJ=128, LB=16)
+    finally:
+        PL._ANA_DOT = prev
+    sc = np.max(np.abs(np.asarray(alm_ref)))
+    assert np.max(np.abs(np.asarray(alm_p) - np.asarray(alm_ref))) < 5e-6 * sc
