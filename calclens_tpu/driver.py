@@ -156,12 +156,15 @@ class Raytracer:
         """Run the plane step phase-split (separate jits) instead of fully
         fused: required for profiling; at NSIDE >= 4096 single-chip where
         the fused step cannot fit HBM (the synthesis must be host-streamed
-        over j-blocks; poisson.phase_synthesis_host); and at NSIDE 2048
+        over j-blocks; poisson.phase_synthesis_host); and at NSIDE >= 1024
         single-chip where the streamed synthesis' per-block turning-point m
         cutoffs and chained dispatch beat the fused in-graph synthesis
-        (measured 2.43 vs 16.3 s/plane at order 11 / rayOrder 10 on v5e)."""
+        (measured round 4 on v5e: order 11 / rayOrder 10 = 2.29 vs 16.3
+        s/plane; order 10 = 3.52 phase-split WITH profiling syncs vs 3.62
+        fused).  Below order 10 the fused step wins (0.186 s at order 8)
+        and avoids the streamed path's per-block dispatch overhead."""
         return self.cfg.Profile or (
-            self.plan.spec is None and self.cfg.SHTOrder >= 11)
+            self.plan.spec is None and self.cfg.SHTOrder >= 10)
 
     # ------------------------------------------------------------------
     def active_ray_pixels(self):

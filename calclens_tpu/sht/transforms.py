@@ -538,9 +538,9 @@ def _synth_stream_blocks(plan):
     env = os.environ.get("CALCLENS_SYNTH_STREAM")
     if env:
         return int(env)
-    if plan.spec is not None or plan.order < 11:
+    if plan.spec is not None or plan.order < 10:
         return 1
-    return 2 << (plan.order - 9)  # 8 at order 11, 16 at 12, 32 at 13
+    return 2 << (plan.order - 9)  # 4 at order 10, 8 at 11, 16 at 12, 32 at 13
 
 
 def _rows_phase(plan: SHTPlan, r0: int, r1: int, sign):
