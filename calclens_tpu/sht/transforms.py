@@ -540,7 +540,12 @@ def _synth_stream_blocks(plan):
         return int(env)
     if plan.spec is not None or plan.order < 10:
         return 1
-    return 2 << (plan.order - 9)  # 4 at order 10, 8 at 11, 16 at 12, 32 at 13
+    # measured on v5e (BASELINE.md round 4): 4 at order 10 (1.39 s), 8 at
+    # order 11 (2.29 s; 4 was 2.56), 32 at order 12 (8.76 s; 16 was 8.93 —
+    # finer polar blocks skip more of the m range via the turning-point
+    # cutoff, and the chained donated-buffer dispatch keeps the per-block
+    # host cost negligible)
+    return {10: 4, 11: 8}.get(plan.order, 32)
 
 
 def _rows_phase(plan: SHTPlan, r0: int, r1: int, sign):
