@@ -125,15 +125,18 @@ def _ray_side_packed(tab, maps, packed, scal, born, plan=None):
     exchange path (parallel/halo.py): the six maps stay block-sharded and
     each shard gathers taps from its block plus an H-pixel halo, so no
     participant materializes a full [npix] map."""
+    import os
+
     from .rays import soa
+
+    N = packed.shape[1]
+    # full-sky ray buffer at some order? (N = 12 * 4^ray_order)
+    log2q = max((N // 12).bit_length() - 1, 0)
+    ray_order = log2q // 2
+    fullsky = log2q % 2 == 0 and N == 12 * 4**ray_order
 
     if plan is not None and plan.spec is not None:
         n = plan.spec.mesh.devices.size
-        N = packed.shape[1]
-        # full-sky ray buffer at some order? (N = 12 * 4^ray_order)
-        log2q = max((N // 12).bit_length() - 1, 0)
-        ray_order = log2q // 2
-        fullsky = log2q % 2 == 0 and N == 12 * 4**ray_order
         if fullsky and N % n == 0 and plan.npix % n == 0:
             from .parallel import halo
 
@@ -143,6 +146,25 @@ def _ray_side_packed(tab, maps, packed, scal, born, plan=None):
             return halo.interp_and_prop_sharded(
                 tab, maps6, packed, scal.wp, scal.wpm1, scal.wpm2, born,
                 plan.spec.mesh, H, ray_order, plan.order)
+
+    if (plan is not None and plan.spec is None and fullsky
+            and packed.dtype == jnp.dtype(jnp.float32)
+            and plan.order == tab.order):
+        # windowed fast path: per-chunk map windows keep every tap gather in
+        # the <= 2M-pixel fast regime (~128 vs ~57 M idx/s on v5e; see
+        # rays/interp_fast.py).  Only pays off when the map itself exceeds
+        # the fast-gather ceiling.
+        from .rays import interp_fast
+
+        wmax = interp_fast.default_wmax(plan.order)
+        if (tab.npix > wmax
+                and os.environ.get("CALCLENS_INTERP_WINDOWED", "1") != "0"):
+            drift = int(os.environ.get("CALCLENS_INTERP_DRIFT", "16"))
+            wplan = interp_fast.get_plan(ray_order, plan.order, drift, wmax)
+            out, _viol = interp_fast.interp_and_prop_fullsky(
+                tab, maps, packed, scal.wp, scal.wpm1, scal.wpm2, born,
+                wplan)
+            return out
 
     def block(b):
         return soa.interp_and_prop_chunk(tab, maps, b, scal.wp, scal.wpm1,

@@ -1,0 +1,201 @@
+"""Windowed ray interpolation: the full-sky production fast path.
+
+The ray side's wall is the tap gather (shtpoissonsolve.c:666-705 structure:
+four bilinear taps per ray, six field maps per tap).  XLA:TPU's gather runs
+~57 M indices/s from HBM-resident tables but ~128 M idx/s when the operand
+is <= ~2M pixels (measured on v5e, tools/exp_gather_scan.py /
+tools/exp_gather2.py — the lowering switches to a faster table-resident
+form).  Full-sky rays are stored in RING order (driver.init_rays), so a
+contiguous block of ray rows only ever taps a contiguous band of map rings:
+this module splits the rays into static chunks whose tap windows (whole map
+rings, plus a drift margin for accumulated deflection) each fit the fast
+gather regime, slices the stacked [7, npix] map per chunk, and gathers
+locally.
+
+Correctness under drift: window bounds are static (ring geometry of the
+UNDEFLECTED grid + `drift_rings` map rings of margin).  Rays deflected
+beyond the margin would tap outside their window; those taps are clamped
+and COUNTED — the interp returns a violation scalar the driver checks (and
+falls back to the global-gather path / raises the margin).  Production
+deflections are arcminutes (README.md:31-37 regime); the default margin of
+16 map rings covers ~18 arcmin of colatitude drift at NSIDE 4096 — an order
+of magnitude above physical deflections.
+
+The per-tap field+geometry pairing reuses the materialized-id defense of
+`soa.interp_and_prop_chunk` (the 7th window row carries the pixel id), so a
+knife-edge flip still yields a consistent (field, transport, weight) tap
+set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..healpix import core as hp
+from ..healpix import jaxhp
+
+
+# fast-gather operand ceiling (pixels): tables at/below this size gather at
+# ~128 M idx/s on v5e vs ~57 M above (tools/exp_gather_scan.py)
+WMAX_DEFAULT = 1 << 21
+
+
+def default_wmax(map_order: int) -> int:
+    """Measured v5e sweet spots (tools/profile_rayside.py windowed): at map
+    order 11 a 2M window ran 0.878 s vs 0.434 s at 1M (the 2M operand sits
+    at the plateau edge); at order 12 both run ~0.60 s but 1M costs 3x the
+    chunks (and compile time).  Orders <= 10 fit few chunks either way."""
+    return (1 << 20) if map_order <= 11 else (1 << 21)
+
+
+class WindowedInterpPlan:
+    """Static chunk/window table for full-sky rays at `ray_order` against a
+    map at `map_order` (host numpy; hashable by identity, cached)."""
+
+    def __init__(self, ray_order: int, map_order: int,
+                 drift_rings: int = 16, wmax: int = WMAX_DEFAULT):
+        self.ray_order = ray_order
+        self.map_order = map_order
+        self.drift_rings = drift_rings
+        rt_r = hp.build_ring_table(ray_order)
+        rt_m = hp.build_ring_table(map_order)
+        npix_m = int(rt_m.npix)
+        nrings_r = 4 * rt_r.nside - 1
+        nrings_m = 4 * rt_m.nside - 1
+        sp_m = np.append(rt_m.startpix, npix_m).astype(np.int64)
+
+        # undeflected tap rings per ray ring: ring_above(theta_i) and +1
+        # (get_interpol structure); theta-aligned grids make this 4i +- 1,
+        # but compute it exactly from the geometry
+        z = np.cos(rt_r.theta)
+        az = np.abs(z)
+        nside_m = rt_m.nside
+        ir_cap = (nside_m * np.sqrt(np.maximum(3.0 * (1.0 - az), 0.0))
+                  ).astype(np.int64)
+        ir_eq = (nside_m * (2.0 - 1.5 * z)).astype(np.int64)
+        ra = np.where(az <= 2.0 / 3.0, ir_eq,
+                      np.where(z > 0, ir_cap, 4 * nside_m - ir_cap - 1))
+        # +-1 on top of drift: the knife-edge ring_above ambiguity at
+        # theta-nested grids
+        rlo = np.clip(ra - 1 - drift_rings, 1, nrings_m)
+        rhi = np.clip(ra + 2 + drift_rings, 1, nrings_m)
+        # pole folds tap pixels [0, 4) / [npix-4, npix): covered because
+        # rlo(ray ring 1) = 1 and rhi(last) = nrings_m for any drift >= 3
+
+        # greedy chunking over ray rings: grow while the window span fits
+        chunks = []  # (row0, row1, w0) ; uniform window width self.W
+        i = 1
+        wspan = 0
+        while i <= nrings_r:
+            p_lo = int(sp_m[rlo[i - 1] - 1])
+            j = i
+            while j <= nrings_r:
+                hi = int(sp_m[rhi[j - 1]])
+                if hi - p_lo > wmax and j > i:
+                    break
+                if hi - p_lo > wmax:
+                    # single ray ring exceeding wmax (tiny ray order vs huge
+                    # map): widen this one window
+                    j += 1
+                    break
+                j += 1
+            j -= 1
+            p_hi = int(sp_m[rhi[j - 1]])
+            row0 = int(rt_r.startpix[i - 1])
+            row1 = int(rt_r.startpix[j - 1] + rt_r.ringpix[j - 1])
+            chunks.append((row0, row1, p_lo, p_hi))
+            wspan = max(wspan, p_hi - p_lo)
+            i = j + 1
+        self.W = min(wspan, npix_m)
+        out = []
+        for row0, row1, p_lo, p_hi in chunks:
+            # uniform W: extend downward (window may only grow)
+            w0 = max(0, min(p_lo, npix_m - self.W))
+            out.append((row0, row1, w0))
+        self.chunks = tuple(out)
+        self.npix_m = npix_m
+
+    def __repr__(self):
+        return (f"WindowedInterpPlan(ray={self.ray_order}, "
+                f"map={self.map_order}, W={self.W}, "
+                f"nchunks={len(self.chunks)})")
+
+
+_plans = {}
+
+
+def get_plan(ray_order: int, map_order: int, drift_rings: int = 16,
+             wmax: int = WMAX_DEFAULT) -> WindowedInterpPlan:
+    key = (ray_order, map_order, drift_rings, wmax)
+    p = _plans.get(key)
+    if p is None:
+        p = _plans[key] = WindowedInterpPlan(ray_order, map_order,
+                                             drift_rings, wmax)
+    return p
+
+
+def _gather_tap_fields(wplan: WindowedInterpPlan, maps6, pix4):
+    """Per-tap windowed gathers: maps6 [6, npix] + tap ids [4][N] ->
+    (fld4 [4][7, N] with the materialized id as row 6, viol int32 scalar).
+
+    Gathers run per static chunk from a [7, W] window slice so every gather
+    operand sits in the fast (<= 2M px) regime.  Out-of-window taps (drift
+    beyond the margin) are clamped into the window and counted."""
+    W = wplan.W
+    npix = wplan.npix_m
+    glob = jnp.arange(npix, dtype=jnp.int32)
+    iota = jax.lax.bitcast_convert_type(glob | jnp.int32(0x40000000),
+                                        jnp.float32)
+    maps7 = jnp.concatenate([maps6, iota[None, :]], axis=0)
+    parts = [[] for _ in range(4)]
+    viol = jnp.zeros((), jnp.int32)
+    for row0, row1, w0 in wplan.chunks:
+        win = jax.lax.slice(maps7, (0, w0), (7, w0 + W))
+        for k in range(4):
+            pk = jax.lax.slice(pix4[k], (row0,), (row1,)) - jnp.int32(w0)
+            inside = (pk >= 0) & (pk < W)
+            viol = viol + jnp.sum(~inside, dtype=jnp.int32)
+            pk = jnp.clip(pk, 0, W - 1)
+            f = win[:, pk]
+            # NaN-poison out-of-window taps: a clamped tap would pair a
+            # WRONG pixel's field with its (consistent) geometry — silently
+            # inaccurate.  Poisoning fails loudly; raise
+            # CALCLENS_INTERP_DRIFT or set CALCLENS_INTERP_WINDOWED=0 if a
+            # run ever trips this (margin is ~10x physical deflections).
+            f = jnp.where(inside, f, jnp.nan)
+            parts[k].append(f)
+    fld4 = [jnp.concatenate(p, axis=1) if len(p) > 1 else p[0]
+            for p in parts]
+    return fld4, viol
+
+
+def interp_and_prop_fullsky(tab, maps, packed, wp, wpm1, wpm2, born: bool,
+                            wplan: WindowedInterpPlan):
+    """Windowed-gather version of `soa.interp_and_prop_chunk` for full-sky
+    RING-ordered rays on a single chip.  Returns (packed', viol) where viol
+    counts taps that fell outside their static window (0 in any physical
+    run; nonzero means the drift margin must be raised and the plane redone
+    via the global path).
+
+    Bit-identical to the global-gather path when viol == 0: the same pixels
+    are gathered (just through per-chunk window slices) and the downstream
+    math is shared (`soa._fields_update_from_taps`)."""
+    from . import soa
+
+    maps6 = maps if isinstance(maps, jnp.ndarray) else jnp.stack(
+        [maps.pot, maps.gt, maps.gp, maps.gtt, maps.gtp, maps.gpp])
+    r = packed
+    nx, ny, nz = r[0], r[1], r[2]
+    rad = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    hx, hy, hz = nx / rad, ny / rad, nz / rad
+    theta = jnp.arccos(jnp.clip(hz, -1.0, 1.0))
+    phi = jnp.arctan2(hy, hx)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    pix4, _ = jaxhp.get_interpol_soa(tab, theta, phi)
+
+    fld4, viol = _gather_tap_fields(wplan, maps6, pix4)
+    out = soa._finish_from_fields(tab, fld4, r, theta, phi, hx, hy, hz,
+                                  wp, wpm1, wpm2, born)
+    return out, viol

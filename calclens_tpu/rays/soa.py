@@ -192,18 +192,39 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool,
         iota = glob.astype(dt)
     maps7 = jnp.concatenate([maps6, iota[None, :]], axis=0)
 
-    nside = tab.nside
-    npix_map = tab.npix
-    nrings = 4 * nside - 1
-    two_pi = 2.0 * jnp.pi
-
-    fld4, cs4, dl4, th4, rg4 = [], [], [], [], []
+    fld4 = []
     for k in range(4):
         pk = pix4[k]
         if pix_base is not None:
             pkw = pk - pix_base
             pk = jnp.clip(pkw, 0, W - 1)
         f = maps7[:, pk]  # one row-gather: [7, c]
+        if pix_base is not None and _debug_halo():
+            # poison out-of-window taps so a truncated halo (see
+            # parallel.halo.required_halo) fails loudly instead of
+            # interpolating from clamped (wrong) pixels
+            f = jnp.where((pkw >= 0) & (pkw < W), f, jnp.nan)
+        fld4.append(f)
+    return _finish_from_fields(tab, fld4, r, theta, phi, hx, hy, hz,
+                               wp, wpm1, wpm2, born)
+
+
+def _finish_from_fields(tab, fld4, r, theta, phi, hx, hy, hz,
+                        wp, wpm1, wpm2, born: bool):
+    """Post-gather half of the ray side, shared between the global-gather
+    path above and the windowed fast path (rays/interp_fast.py): decode each
+    tap's TRUE pixel id from the gathered 7th row, rebuild its ring geometry
+    and parallel transport, form position-based weights, accumulate the six
+    fields and propagate.  fld4 is [4][7, c] (6 fields + materialized id)."""
+    dt = r.dtype
+    nside = tab.nside
+    npix_map = tab.npix
+    nrings = 4 * nside - 1
+    two_pi = 2.0 * jnp.pi
+
+    cs4, dl4, th4, rg4 = [], [], [], []
+    for k in range(4):
+        f = fld4[k]
         if dt == jnp.dtype(jnp.float32):
             pk_true = (jax.lax.bitcast_convert_type(f[6], jnp.int32)
                        & jnp.int32(0x3FFFFFFF))
@@ -223,12 +244,6 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool,
         cy = sthr * jnp.sin(phic)
         cz = jnp.cos(thr)
         c_, s_ = _transport_psi(cx, cy, cz, hx, hy, hz)
-        if pix_base is not None and _debug_halo():
-            # poison out-of-window taps so a truncated halo (see
-            # parallel.halo.required_halo) fails loudly instead of
-            # interpolating from clamped (wrong) pixels
-            f = jnp.where((pkw >= 0) & (pkw < W), f, jnp.nan)
-        fld4.append(f)
         cs4.append((c_, s_))
         dl4.append(delta)
         th4.append(thr)
@@ -273,13 +288,13 @@ def interp_and_prop_chunk(tab, maps, chunk, wp, wpm1, wpm2, born: bool,
     w3 = jnp.where(north, wtn * a3 + facn, jnp.where(south, facs, wg[3]))
     wgt4 = (w0, w1, w2, w3)
 
-    pot = jnp.zeros_like(nx)
-    g0 = jnp.zeros_like(nx)
-    g1 = jnp.zeros_like(nx)
-    u00 = jnp.zeros_like(nx)
-    u01 = jnp.zeros_like(nx)
-    u10 = jnp.zeros_like(nx)
-    u11 = jnp.zeros_like(nx)
+    pot = jnp.zeros_like(theta)
+    g0 = jnp.zeros_like(theta)
+    g1 = jnp.zeros_like(theta)
+    u00 = jnp.zeros_like(theta)
+    u01 = jnp.zeros_like(theta)
+    u10 = jnp.zeros_like(theta)
+    u11 = jnp.zeros_like(theta)
     for k in range(4):
         f = fld4[k]
         wk = wgt4[k].astype(dt)

@@ -106,3 +106,39 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def windowed():
+    """Windowed fast path at the same shapes (run: O=12 RO=10 python
+    tools/profile_rayside.py windowed)."""
+    from calclens_tpu.rays import interp_fast
+
+    map_order = int(os.environ.get("O", 12))
+    ray_order = int(os.environ.get("RO", 10))
+    npix_map = int(hp.order2npix(map_order))
+    nrays = int(hp.order2npix(ray_order))
+    tab = jaxhp.InterpTables(map_order, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    maps6 = jax.block_until_ready(
+        jax.jit(lambda k: jax.random.normal(k, (6, npix_map), jnp.float32)
+                * 1e-3)(key))
+    packed = jax.block_until_ready(jax.jit(
+        soa.init_packed_fullsky, static_argnums=(0, 2))(
+        ray_order, jnp.float32(500.0), nrays))
+    wp, wpm1, wpm2 = (jnp.float32(750.0), jnp.float32(500.0),
+                      jnp.float32(250.0))
+    drift = int(os.environ.get("DRIFT", 16))
+    wplan = interp_fast.get_plan(ray_order, map_order, drift)
+    print(wplan, flush=True)
+    f = jax.jit(lambda m, p: interp_fast.interp_and_prop_fullsky(
+        tab, m, p, wp, wpm1, wpm2, False, wplan)[0])
+    t = timeit(f, maps6, packed)
+    print(f"interp+prop windowed: {t:.3f}s", flush=True)
+    fv = jax.jit(lambda m, p: interp_fast.interp_and_prop_fullsky(
+        tab, m, p, wp, wpm1, wpm2, False, wplan))
+    out, viol = fv(maps6, packed)
+    print(f"viol = {int(viol)}", flush=True)
+
+
+if "windowed" in sys.argv:
+    windowed()
