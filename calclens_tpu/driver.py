@@ -7,6 +7,7 @@ interpolation, propagation — is jitted device code.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from dataclasses import dataclass
@@ -656,10 +657,22 @@ class Raytracer:
             from .healpix import jaxhp
 
             gal_pos, gal_idx = galsio.read_source_gals(cfg.GalsFileList)
+            gs_ring_rows = None
             if full_sky_rays:
                 # device-resident search: ray index == RING pixel
                 gs_tab_dev = jaxhp.InterpTables(cfg.rayOrder,
                                                 dtype=self.dtype)
+            elif (self.mesh is None and not cfg.BornApprx
+                  and os.environ.get("CALCLENS_GALS_DEVICE", "1") != "0"):
+                # cut-sky device path: ray rows are the box's pixels in RING
+                # order — a sorted row->RING-pixel table lets the candidate
+                # taps translate on device (gridsearch._rows_of_pix), so a
+                # box run keeps device-path throughput
+                gs_tab_dev = jaxhp.InterpTables(cfg.rayOrder,
+                                                dtype=self.dtype)
+                gs_ring_rows = np.asarray(
+                    hp.nest2ring(self._ray_nest, cfg.rayOrder), np.int64)
+                assert np.all(np.diff(gs_ring_rows) > 0)
             else:
                 # candidate window >= the reference's galImageSearchRad of 10
                 # ray pixels (config.c:222-225): half-width ~ 1.5*2^expand px
@@ -720,7 +733,8 @@ class Raytracer:
                             self.rays_packed = _device_copy(prestep)
                         gal_collect = gs.find_images_device_async(
                             cfg, gs_tab_dev, prestep, ppos, pidx,
-                            pp.rad, pp.rad_minus1)
+                            pp.rad, pp.rad_minus1,
+                            ring_rows=gs_ring_rows)
                         if _os.environ.get("CALCLENS_GALS_ASYNC",
                                            "1") == "0":
                             images = gal_collect()

@@ -144,15 +144,19 @@ def _gather_tap_fields(wplan: WindowedInterpPlan, maps6, pix4):
     operand sits in the fast (<= 2M px) regime.  Out-of-window taps (drift
     beyond the margin) are clamped into the window and counted."""
     W = wplan.W
-    npix = wplan.npix_m
-    glob = jnp.arange(npix, dtype=jnp.int32)
-    iota = jax.lax.bitcast_convert_type(glob | jnp.int32(0x40000000),
-                                        jnp.float32)
-    maps7 = jnp.concatenate([maps6, iota[None, :]], axis=0)
     parts = [[] for _ in range(4)]
     viol = jnp.zeros((), jnp.int32)
+    wiota = jnp.arange(W, dtype=jnp.int32)
     for row0, row1, w0 in wplan.chunks:
-        win = jax.lax.slice(maps7, (0, w0), (7, w0 + W))
+        # id row built PER WINDOW: a global [7, npix] maps7 concat would
+        # materialize a second map-sized buffer (5.6 GB at order 12) on top
+        # of the resident maps — the difference between the order-12 step
+        # fitting HBM and not
+        iota = jax.lax.bitcast_convert_type(
+            (wiota + jnp.int32(w0)) | jnp.int32(0x40000000), jnp.float32)
+        win = jnp.concatenate(
+            [jax.lax.slice(maps6, (0, w0), (6, w0 + W)), iota[None, :]],
+            axis=0)
         for k in range(4):
             pk = jax.lax.slice(pix4[k], (row0,), (row1,)) - jnp.int32(w0)
             inside = (pk >= 0) & (pk < W)
