@@ -446,6 +446,17 @@ class Raytracer:
                 vacmask, self.sph,
             )
         else:
+            # Empty planes keep the beta CHORD deliberately: in production
+            # (backdens on) the reference runs the full solve and its
+            # noise-level alpha chords along the unchanged beta, which the
+            # exact chord reproduces.  Its NOBACKDENS test build instead
+            # skips the solve and hits rayprop's radial alpha==0 branch,
+            # FREEZING previously-bent rays' transverse motion — an
+            # artifact its own tests never probe (they validate deflection
+            # and shear, not position continuation).  The chord is the
+            # correct geodesic continuation (test_ray_positions_bend); the
+            # radial branch is reproduced only where it is deterministic
+            # output parity (the CMB mode, propagate_to_cmb below).
             packed = empty_plane_step_packed(self.cfg.BornApprx,
                                              self.rays_packed, scal)
         self.rays_packed = jax.block_until_ready(packed)
@@ -854,7 +865,8 @@ class Raytracer:
             wpm1=jnp.asarray(wpm1, self.dtype),
             wpm2=jnp.asarray(wpm2, self.dtype))
         self.rays_packed = jax.block_until_ready(
-            empty_plane_step_packed(cfg.BornApprx, self.rays_packed, scal))
+            empty_plane_step_packed(cfg.BornApprx, self.rays_packed, scal,
+                                    True))
         # device accumulation (no ray-buffer host gather; see
         # _write_map_outputs) — the reference likewise only reduces the
         # order-12 map (propagate_to_cmb_from_restart.c:440-492)

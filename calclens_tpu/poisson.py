@@ -238,13 +238,23 @@ def plane_step_packed(plan: SHTPlan, tab: jaxhp.InterpTables, packed, pos,
     return packed, (maps if with_maps else None)
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
-def empty_plane_step_packed(born: bool, packed, scal: PlaneScalars):
+@partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
+def empty_plane_step_packed(born: bool, packed, scal: PlaneScalars,
+                            radial: bool = False):
+    """Particle-free plane: zero the per-plane rows and propagate.
+
+    radial=True takes the reference's alpha == 0 rayprop branch (radial
+    position rescale, rayprop.c:125-131) — the deterministic behavior of
+    its CMB propagation and NOBACKDENS zero-particle skip.  The default
+    keeps the beta chord: with background subtraction the reference runs
+    the full solve on an empty plane and its noise-level alpha chords along
+    the (un-rotated) beta, which the exact chord reproduces."""
     from .rays import soa
 
     packed = soa.zero_plane_rows(packed)
     return soa.chunked(
-        lambda b: soa.prop_only_chunk(b, scal.wp, scal.wpm1, scal.wpm2, born),
+        lambda b: soa.prop_only_chunk(b, scal.wp, scal.wpm1, scal.wpm2, born,
+                                      radial_when_straight=radial),
         packed, RAY_CHUNK)
 
 

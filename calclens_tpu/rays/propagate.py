@@ -91,7 +91,8 @@ def _amat_update(rays: Rays, wp, wpm1, wpm2, born: bool):
     return (1.0 - f) * rays.Aprev + f * rays.A - g * UA
 
 
-def rayprop_sphere(rays: Rays, wp, wpm1, wpm2, born: bool = False) -> Rays:
+def rayprop_sphere(rays: Rays, wp, wpm1, wpm2, born: bool = False,
+                   radial_when_straight: bool = False) -> Rays:
     """Propagate all rays from plane radius wpm1 to wp (reference
     rayprop_sphere, rayprop.c:18).  wpm2 is the previous-previous radius
     (0 at the first step, handled by callers passing the reference's values).
@@ -129,6 +130,10 @@ def rayprop_sphere(rays: Rays, wp, wpm1, wpm2, born: bool = False) -> Rays:
     q = -0.5 * (qb + jnp.sign(qb) * disc)
     lam1 = qc / jnp.where(q != 0.0, q, 1.0)
     lam = jnp.where(lam1 < 0.0, q, lam1)
+    if radial_when_straight:
+        # reference alpha == 0 branch (rayprop.c:125-131): unbent rays move
+        # radially; the |n| = wp renormalization below does the rescale
+        lam = jnp.where(bent[..., 0], lam, 0.0)
     np_ = rays.n + betap * lam[..., None]
 
     # parallel transport both A matrices old -> new position (rayprop.c:151-170)

@@ -322,8 +322,16 @@ def _finish_from_fields(tab, fld4, r, theta, phi, hx, hy, hz,
 
 
 def _prop_rows(r, al0, al1, U00, U01, U10, U11, pot, wp, wpm1, wpm2,
-               born: bool):
-    """Componentwise rayprop_sphere on packed rows (rayprop.c:18-189)."""
+               born: bool, radial_when_straight: bool = False):
+    """Componentwise rayprop_sphere on packed rows (rayprop.c:18-189).
+
+    radial_when_straight mirrors the reference's alpha == 0 branch
+    (rayprop.c:125-131): unbent rays move RADIALLY (n -> n_hat * wp, beta
+    kept) instead of along the beta chord.  The reference takes that branch
+    deterministically in its CMB propagation (alpha zeroed by construction,
+    propagate_to_cmb_from_restart.c:370-380) and its zero-particle
+    NOBACKDENS skip; planes with fields always have |alpha| > 0 in float
+    and chord.  Caught by test_reference_binary_cmb_numerical_parity."""
     nx, ny, nz = r[0], r[1], r[2]
     bx, by, bz = r[3], r[4], r[5]
     A00, A01, A10, A11 = r[6], r[7], r[8], r[9]
@@ -388,6 +396,8 @@ def _prop_rows(r, al0, al1, U00, U01, U10, U11, pot, wp, wpm1, wpm2,
     q = -0.5 * (qb + jnp.sign(qb) * disc)
     lam1 = qc / jnp.where(q != 0.0, q, 1.0)
     lam = jnp.where(lam1 < 0.0, q, lam1)
+    if radial_when_straight:
+        lam = jnp.where(bent, lam, 0.0)  # m = n: radial rescale below
     mx = nx + bbx * lam
     my = ny + bby * lam
     mz = nz + bbz * lam
@@ -411,12 +421,14 @@ def zero_plane_rows(packed):
     return packed.at[14:21].set(0.0)
 
 
-def prop_only_chunk(chunk, wp, wpm1, wpm2, born: bool):
+def prop_only_chunk(chunk, wp, wpm1, wpm2, born: bool,
+                    radial_when_straight: bool = False):
     """Propagation with this plane's fields already in the rows (used for
     particle-free planes and the CMB propagation step)."""
     r = chunk
     return _prop_rows(r, r[14], r[15], r[16], r[17], r[18], r[19], r[20],
-                      wp, wpm1, wpm2, born)
+                      wp, wpm1, wpm2, born,
+                      radial_when_straight=radial_when_straight)
 
 
 def chunked(fn, packed, chunk_size):

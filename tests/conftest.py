@@ -47,3 +47,19 @@ def refbin():
             pytest.skip(f"reference baseline build failed: "
                         f"{res.stderr[-500:]}")
     return path
+
+
+@pytest.fixture(scope="session")
+def refbin_cmb(refbin):
+    """The reference binary's CMB-propagation variant with its hard-coded
+    order-12 lens map lowered to a test-scale order (build_cmb.sh; the
+    stock constant + lower_nest's rayOrder > map_order assert make the real
+    CMB mode unrunnable on any 1-core-sized restart)."""
+    rbdir = _os.path.dirname(_os.path.dirname(refbin))
+    path = _os.path.join(rbdir, "build", "raytrace_cmb")
+    if not _os.path.exists(path):
+        res = _subprocess.run(["bash", "build_cmb.sh"], cwd=rbdir,
+                              capture_output=True, text=True, timeout=600)
+        if res.returncode != 0 or not _os.path.exists(path):
+            pytest.skip(f"reference CMB build failed: {res.stderr[-500:]}")
+    return path

@@ -76,6 +76,42 @@ def main():
         "device": str(jax.devices()[0].platform),
     }))
 
+    # galaxy grid-search tier: the cut-sky DEVICE path (ring_rows row
+    # table, round-4 VERDICT missing #1) against sources inside the box
+    ngal = int(os.environ.get("BENCH_NGALS", 100_000))
+    from calclens_tpu.gals import gridsearch as gs
+    from calclens_tpu.healpix import core as hp
+    from calclens_tpu.healpix import jaxhp
+
+    ring_rows = np.asarray(hp.nest2ring(rt.ray_nest, cfg.rayOrder), np.int64)
+    rng2 = np.random.default_rng(5)
+    ra = rng2.uniform(2.0, 18.0, ngal)
+    dec = rng2.uniform(-4.5, 4.5, ngal)
+    th = np.radians(90.0 - dec)
+    phf = np.radians(ra)
+    g = np.stack([np.sin(th) * np.cos(phf), np.sin(th) * np.sin(phf),
+                  np.cos(th)], 1)
+    binL = cfg.maxComvDistance / cfg.NumLensPlanes
+    wpm1 = 4 * binL + binL / 2.0
+    grad = rng2.uniform(wpm1 + 10.0, wpm1 + binL - 10.0, ngal)
+    gal_pos = g * grad[:, None]
+    tab = jaxhp.InterpTables(cfg.rayOrder, dtype=rt.dtype)
+
+    t0 = time.perf_counter()
+    images = gs.find_images_device(cfg, tab, rt.rays_packed, gal_pos,
+                                   np.arange(ngal), wpm1 + binL, wpm1,
+                                   ring_rows=ring_rows)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"cutsky220_gals_device_nside{1 << sht_order}",
+        "value": ngal / dt,
+        "unit": "gals/s",
+        "ngals": ngal,
+        "images": int(len(images.index)),
+        "seconds": dt,
+        "device": str(jax.devices()[0].platform),
+    }))
+
 
 if __name__ == "__main__":
     main()
