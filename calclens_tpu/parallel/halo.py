@@ -106,7 +106,7 @@ def interp_and_prop_sharded(tab, maps6, packed, wp, wpm1, wpm2, born: bool,
     packed [21, N]    P(None, AXIS)
     Returns updated packed [21, N] with the same sharding.
     """
-    from ..rays import soa
+    from ..rays import interp_fast, soa
 
     n = mesh.devices.size
     npix = maps6.shape[1]
@@ -124,6 +124,16 @@ def interp_and_prop_sharded(tab, maps6, packed, wp, wpm1, wpm2, born: bool,
                                  [(i + 1, i) for i in range(n - 1)])
         win = jnp.concatenate([left, maps_blk, right], axis=1)
         base = jax.lax.axis_index(AXIS).astype(jnp.int32) * blk - H
+        if win.shape[1] > interp_fast.WMAX_DEFAULT and \
+                jnp.issubdtype(ray_blk.dtype, jnp.float32):
+            # dynamic sub-windows keep every tap gather in the fast
+            # (<= 2M px) operand regime — the per-shard window at
+            # production orders is ~100M px, the ~57 M idx/s wall that
+            # dominated the order-13 projection's ray side
+            col_chunk, wc = interp_fast.dynwin_params(ray_order, map_order)
+            return interp_fast.interp_and_prop_dynwin(
+                tab, win, ray_blk, wp, wpm1, wpm2, born, base, col_chunk,
+                wc)
         return soa.interp_and_prop_chunk(tab, win, ray_blk, wp, wpm1, wpm2,
                                          born, pix_base=base)
 

@@ -175,6 +175,76 @@ def _gather_tap_fields(wplan: WindowedInterpPlan, maps6, pix4):
     return fld4, viol
 
 
+def interp_and_prop_dynwin(tab, win6, packed, wp, wpm1, wpm2, born: bool,
+                           pix_base, col_chunk: int, wc: int):
+    """Dynamic-sub-window interp for a map WINDOW (the sharded halo path,
+    parallel/halo.py): win6 [6, Wwin] is a contiguous RING-pixel window
+    whose first column is global pixel `pix_base` (a traced scalar —
+    per-shard under shard_map); packed [21, rows] are RING-sorted rays
+    whose taps lie inside the window.
+
+    Rays are processed in `col_chunk`-column chunks; each chunk's taps are
+    gathered from a dynamic sub-window of STATIC width `wc` based at the
+    chunk's minimum tap (data-derived, so no per-shard static tables are
+    needed — SPMD-safe).  Keeps every gather operand in the fast
+    (<= 2M px) regime; the whole-window gather ran ~57 M idx/s at
+    production widths (docs/TPU_NOTES.md).  Taps beyond the sub-window
+    (per-ray deflection spread > wc - chunk span) are NaN-poisoned like
+    the full-sky fast path."""
+    from . import soa
+
+    Wwin = win6.shape[1]
+    wc = min(wc, Wwin)
+    r = packed
+    nx, ny, nz = r[0], r[1], r[2]
+    rad = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    hx, hy, hz = nx / rad, ny / rad, nz / rad
+    theta = jnp.arccos(jnp.clip(hz, -1.0, 1.0))
+    phi = jnp.arctan2(hy, hx)
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    pix4, _ = jaxhp.get_interpol_soa(tab, theta, phi)
+
+    rows = r.shape[1]
+    base_g = jnp.asarray(pix_base, jnp.int32)
+    wiota = jnp.arange(wc, dtype=jnp.int32)
+    parts = [[] for _ in range(4)]
+    for c0 in range(0, rows, col_chunk):
+        c1 = min(c0 + col_chunk, rows)
+        pk = [jax.lax.slice(pix4[k], (c0,), (c1,)) for k in range(4)]
+        mn = jnp.minimum(jnp.minimum(jnp.min(pk[0]), jnp.min(pk[1])),
+                         jnp.minimum(jnp.min(pk[2]), jnp.min(pk[3])))
+        base_c = jnp.clip(mn - base_g, 0, Wwin - wc)
+        sub = jax.lax.dynamic_slice(win6, (jnp.int32(0), base_c), (6, wc))
+        iota = jax.lax.bitcast_convert_type(
+            (wiota + base_c + base_g) | jnp.int32(0x40000000), jnp.float32)
+        win7 = jnp.concatenate([sub, iota[None, :]], axis=0)
+        for k in range(4):
+            local = pk[k] - (base_g + base_c)
+            inside = (local >= 0) & (local < wc)
+            f = win7[:, jnp.clip(local, 0, wc - 1)]
+            parts[k].append(jnp.where(inside, f, jnp.nan))
+    fld4 = [jnp.concatenate(p, axis=1) if len(p) > 1 else p[0]
+            for p in parts]
+    return soa._finish_from_fields(tab, fld4, r, theta, phi, hx, hy, hz,
+                                   wp, wpm1, wpm2, born)
+
+
+def dynwin_params(ray_order: int, map_order: int, drift_rings: int = 8,
+                  wc: int = None):
+    """(col_chunk, wc) for interp_and_prop_dynwin: the chunk's tap spread
+    is its ray span times the pixel ratio plus ring-quantization slack plus
+    the per-ray deflection spread (drift_rings map rings both ways)."""
+    wc = wc or WMAX_DEFAULT
+    q = max(1, 4 ** (map_order - ray_order))
+    nside_m = 1 << map_order
+    margin = 2 * (drift_rings + 3) * 4 * nside_m
+    col_chunk = max((wc - margin) // q, 1 << 14)
+    # if the chunk floor binds, widen wc so the window still covers the
+    # chunk's span (tiny wc only occurs under test overrides)
+    wc = max(wc, col_chunk * q + margin)
+    return col_chunk, wc
+
+
 def interp_and_prop_fullsky(tab, maps, packed, wp, wpm1, wpm2, born: bool,
                             wplan: WindowedInterpPlan):
     """Windowed-gather version of `soa.interp_and_prop_chunk` for full-sky

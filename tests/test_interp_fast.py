@@ -151,3 +151,62 @@ def test_dispatch_uses_windowed(monkeypatch):
                                     scal.wpm2, False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-6, atol=1e-7)
+
+
+def test_dynwin_matches_global():
+    """Dynamic-sub-window interp (sharded halo fast path) matches the
+    global-gather path on a full-map window."""
+    ray_order, map_order = 4, 6
+    tab = jaxhp.InterpTables(map_order, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    maps6 = jnp.asarray(rng.normal(0, 1e-3, (6, tab.npix)).astype(np.float32))
+    packed = jnp.asarray(_perturbed_packed(ray_order, 500.0, seed=9))
+    wp, wpm1, wpm2 = (jnp.float32(750.0), jnp.float32(500.0),
+                      jnp.float32(250.0))
+    ref = jax.jit(lambda m, p: soa.interp_and_prop_chunk(
+        tab, m, p, wp, wpm1, wpm2, False))(maps6, packed)
+    col_chunk = packed.shape[1] // 7 + 1
+    wc = col_chunk * (4 ** (map_order - ray_order)) + 40 * (1 << map_order)
+    out = jax.jit(lambda m, p: interp_fast.interp_and_prop_dynwin(
+        tab, m, p, wp, wpm1, wpm2, False, jnp.int32(0), col_chunk,
+        wc))(maps6, packed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=1e-7)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dynwin_sharded_halo_route():
+    """The halo-exchange sharded interp routes through dynwin when the
+    per-shard window exceeds the fast-gather ceiling, and still matches the
+    single-device step (forced via a tiny WMAX)."""
+    import calclens_tpu.rays.interp_fast as IF
+    from calclens_tpu.parallel import halo
+    from calclens_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    ray_order = map_order = 5
+    tab = jaxhp.InterpTables(map_order, dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    maps6 = jnp.asarray(rng.normal(0, 1e-3, (6, tab.npix)).astype(np.float32))
+    packed = jnp.asarray(_perturbed_packed(ray_order, 500.0, seed=10))
+    wp, wpm1, wpm2 = (jnp.float32(750.0), jnp.float32(500.0),
+                      jnp.float32(250.0))
+    ref = jax.jit(lambda m, p: soa.interp_and_prop_chunk(
+        tab, m, p, wp, wpm1, wpm2, False))(maps6, packed)
+
+    mesh = make_mesh(8)
+    H = halo.required_halo(ray_order, map_order, 8)
+    old = IF.WMAX_DEFAULT
+    IF.WMAX_DEFAULT = 1 << 10  # force the dynwin route
+    try:
+        out = halo.interp_and_prop_sharded(
+            tab, maps6, packed, wp, wpm1, wpm2, False, mesh, H,
+            ray_order, map_order)
+    finally:
+        IF.WMAX_DEFAULT = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=1e-7)
+    assert np.isfinite(np.asarray(out)).all()
