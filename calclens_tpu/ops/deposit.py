@@ -15,6 +15,7 @@ solve, following shtpoissonsolve.c:36,153 to keep f32 sums in range.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..healpix import jaxhp
@@ -82,6 +83,32 @@ def deposit_sph_bucketed(order: int, pos, mass, sl, sigmas, npix: int,
     lo = hi - 1
     t = (jnp.log(sl) - logsig[lo]) / (logsig[hi] - logsig[lo])
     t = jnp.clip(t, 0.0, 1.0)
+    # 1D scatter-adds into the FLAT [B * npix] buffer: the 2D (row, col)
+    # scatter form stalled the TPU compiler for tens of minutes at order 12
+    # ([8, 201M] operand), while the flat form lowers like deposit_ngp's
+    # (which compiles in seconds at the same size)
+    if B * npix < 2**31 or jax.config.jax_enable_x64:
+        # flat index fits int32 through order 12 at 8 buckets
+        # (1.6e9 < 2^31); past that only the x64 path indexes exactly
+        idt = jnp.int32 if B * npix < 2**31 else jnp.int64
+        m = jnp.zeros((B * npix,), dtype=mass.dtype)
+        npix_i = idt(npix)
+        if tab is not None:
+            pix4, wgt = jaxhp.get_interpol(tab, theta, phi)
+            for k in range(4):
+                m = m.at[lo.astype(idt) * npix_i
+                         + pix4[..., k].astype(idt)].add(
+                    mass * wgt[..., k] * (1.0 - t) / MASS_SCALE)
+                m = m.at[hi.astype(idt) * npix_i
+                         + pix4[..., k].astype(idt)].add(
+                    mass * wgt[..., k] * t / MASS_SCALE)
+            return m.reshape(B, npix)
+        pix = jaxhp.ang2pix_ring(theta, phi, order).astype(idt)
+        m = m.at[lo.astype(idt) * npix_i + pix].add(
+            mass * (1.0 - t) / MASS_SCALE)
+        return m.at[hi.astype(idt) * npix_i + pix].add(
+            mass * t / MASS_SCALE).reshape(B, npix)
+    # 2D (row, col) scatter fallback: exact at any size without x64
     m = jnp.zeros((B, npix), dtype=mass.dtype)
     if tab is not None:
         pix4, wgt = jaxhp.get_interpol(tab, theta, phi)
