@@ -136,18 +136,18 @@ def get_plan(ray_order: int, map_order: int, drift_rings: int = 16,
     return p
 
 
-def _gather_tap_fields(wplan: WindowedInterpPlan, maps6, pix4):
-    """Per-tap windowed gathers: maps6 [6, npix] + tap ids [4][N] ->
-    (fld4 [4][7, N] with the materialized id as row 6, viol int32 scalar).
+def _gather_tap_fields_grp(chunks, W, maps6, pix4):
+    """Per-tap windowed gathers for one super-chunk: maps6 [6, npix] + tap
+    ids [4][rows] (row-local to the group) -> (fld4 [4][7, rows] with the
+    materialized id as row 6, viol int32 scalar).
 
     Gathers run per static chunk from a [7, W] window slice so every gather
     operand sits in the fast (<= 2M px) regime.  Out-of-window taps (drift
-    beyond the margin) are clamped into the window and counted."""
-    W = wplan.W
+    beyond the margin) are NaN-poisoned and counted."""
     parts = [[] for _ in range(4)]
     viol = jnp.zeros((), jnp.int32)
     wiota = jnp.arange(W, dtype=jnp.int32)
-    for row0, row1, w0 in wplan.chunks:
+    for row0, row1, w0 in chunks:
         # id row built PER WINDOW: a global [7, npix] maps7 concat would
         # materialize a second map-sized buffer (5.6 GB at order 12) on top
         # of the resident maps — the difference between the order-12 step
@@ -245,6 +245,12 @@ def dynwin_params(ray_order: int, map_order: int, drift_rings: int = 8,
     return col_chunk, wc
 
 
+# max rays whose gathered tap fields ([4, 7, rows] f32) are materialized at
+# once: bounds the fast path's transient to ~1.9 GB (ray orders >= 11
+# exceeded HBM with the whole-buffer form)
+ROWS_SUPER = 1 << 24
+
+
 def interp_and_prop_fullsky(tab, maps, packed, wp, wpm1, wpm2, born: bool,
                             wplan: WindowedInterpPlan):
     """Windowed-gather version of `soa.interp_and_prop_chunk` for full-sky
@@ -255,21 +261,42 @@ def interp_and_prop_fullsky(tab, maps, packed, wp, wpm1, wpm2, born: bool,
 
     Bit-identical to the global-gather path when viol == 0: the same pixels
     are gathered (just through per-chunk window slices) and the downstream
-    math is shared (`soa._fields_update_from_taps`)."""
+    math is shared (`soa._finish_from_fields`)."""
     from . import soa
 
     maps6 = maps if isinstance(maps, jnp.ndarray) else jnp.stack(
         [maps.pot, maps.gt, maps.gp, maps.gtt, maps.gtp, maps.gpp])
-    r = packed
-    nx, ny, nz = r[0], r[1], r[2]
-    rad = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-    hx, hy, hz = nx / rad, ny / rad, nz / rad
-    theta = jnp.arccos(jnp.clip(hz, -1.0, 1.0))
-    phi = jnp.arctan2(hy, hx)
-    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
-    pix4, _ = jaxhp.get_interpol_soa(tab, theta, phi)
 
-    fld4, viol = _gather_tap_fields(wplan, maps6, pix4)
-    out = soa._finish_from_fields(tab, fld4, r, theta, phi, hx, hy, hz,
-                                  wp, wpm1, wpm2, born)
+    # group window-chunks into super-chunks of <= ROWS_SUPER rows; each
+    # group's gathers AND tap math run before the next group's, bounding
+    # the [4, 7, rows] field transient
+    groups = []
+    cur = []
+    rows = 0
+    for ch in wplan.chunks:
+        if cur and rows + (ch[1] - ch[0]) > ROWS_SUPER:
+            groups.append(cur)
+            cur, rows = [], 0
+        cur.append(ch)
+        rows += ch[1] - ch[0]
+    groups.append(cur)
+
+    outs = []
+    viol = jnp.zeros((), jnp.int32)
+    for grp in groups:
+        row0, row1 = grp[0][0], grp[-1][1]
+        r = jax.lax.slice(packed, (0, row0), (packed.shape[0], row1))
+        nx, ny, nz = r[0], r[1], r[2]
+        rad = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        hx, hy, hz = nx / rad, ny / rad, nz / rad
+        theta = jnp.arccos(jnp.clip(hz, -1.0, 1.0))
+        phi = jnp.arctan2(hy, hx)
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        pix4, _ = jaxhp.get_interpol_soa(tab, theta, phi)
+        grp0 = tuple((a - row0, b - row0, w0) for a, b, w0 in grp)
+        fld4, v = _gather_tap_fields_grp(grp0, wplan.W, maps6, pix4)
+        viol = viol + v
+        outs.append(soa._finish_from_fields(
+            tab, fld4, r, theta, phi, hx, hy, hz, wp, wpm1, wpm2, born))
+    out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     return out, viol

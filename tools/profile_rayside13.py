@@ -63,12 +63,26 @@ def main():
         soa.init_packed_fullsky, static_argnums=(0, 2))(
         order, wpm1, nsh))
 
-    @jax.jit
-    def rayside(m, p):
-        def block(b):
-            return soa.interp_and_prop_chunk(tab, m, b, wp, wpm1, wpm2,
-                                             False, pix_base=0)
-        return soa.chunked(block, p, poisson.RAY_CHUNK)
+    from calclens_tpu.rays import interp_fast
+
+    mode = os.environ.get("MODE", "dynwin")
+    if mode == "dynwin":
+        # the halo fast path (interp_fast.interp_and_prop_dynwin): dynamic
+        # sub-windows keep gather operands in the fast <= 2M px regime
+        col_chunk, wc = interp_fast.dynwin_params(order, order)
+
+        @jax.jit
+        def rayside(m, p):
+            return interp_fast.interp_and_prop_dynwin(
+                tab, m, p, wp, wpm1, wpm2, False, jnp.int32(0), col_chunk,
+                wc)
+    else:
+        @jax.jit
+        def rayside(m, p):
+            def block(b):
+                return soa.interp_and_prop_chunk(tab, m, b, wp, wpm1, wpm2,
+                                                 False, pix_base=0)
+            return soa.chunked(block, p, poisson.RAY_CHUNK)
 
     force(rayside(maps6, packed))
     ts = []
@@ -77,7 +91,7 @@ def main():
         force(rayside(maps6, packed))
         ts.append(time.perf_counter() - t0)
     t = min(ts)
-    print(f"measured shard interp+prop: {t:.3f}s "
+    print(f"measured shard interp+prop ({mode}): {t:.3f}s "
           f"({nsh/t/1e6:.1f}M rays/s)", flush=True)
     print(f"single-chip-equivalent full-sky ray side (x{frac}): "
           f"{t*frac:.1f}s; per v5p chip-eighth (x{frac/8:.0f}): "
