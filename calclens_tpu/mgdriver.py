@@ -64,6 +64,12 @@ class MGSetup:
         self.levels = tuple(mg.build_levels(self.Lpatch, patch_n))
         self.dtype = dtype
         self.R = cell_rotations(bundle_order)              # [C, 3, 3]
+        # row-major flattened rows [9, C]: per-ray/particle rotations gather
+        # 9 componentwise [*] lanes instead of an [*, 3, 3] AoS buffer —
+        # gathers MATERIALIZE on TPU, and small trailing dims pad (8, 128):
+        # the [Nr, 3, 3] form allocated 38 GB at rayOrder 11 (measured OOM)
+        self.R9 = np.ascontiguousarray(
+            self.R.reshape(self.C, 9).T)                   # [9, C]
         self.neighbors = np.concatenate(
             [np.arange(self.C)[:, None],
              hp.neighbors_nest(np.arange(self.C), bundle_order)], axis=1)
@@ -85,6 +91,21 @@ class MGSetup:
         ok = (ti >= 0) & (ti < lev.N - 1) & (pj >= 0) & (pj < lev.N - 1)
         return ti, pj, ok
 
+    def patch_coords_soa(self, r9, v0, v1, v2):
+        """Componentwise patch_coords: r9 = 9 row-major rotation components
+        (each broadcastable against v0/v1/v2).  Returns (ti, pj, ok) plus
+        the rotated components (w0, w1, w2) for reuse."""
+        lev = self.levels[0]
+        w0 = r9[0] * v0 + r9[1] * v1 + r9[2] * v2
+        w1 = r9[3] * v0 + r9[4] * v1 + r9[5] * v2
+        w2 = r9[6] * v0 + r9[7] * v1 + r9[8] * v2
+        theta = jnp.arccos(jnp.clip(w2, -1.0, 1.0))
+        phi = jnp.arctan2(w1, w0)
+        ti = (theta - lev.thetaLoc) / lev.dL
+        pj = (phi - lev.phiLoc) / lev.dL
+        ok = (ti >= 0) & (ti < lev.N - 1) & (pj >= 0) & (pj < lev.N - 1)
+        return ti, pj, ok, (w0, w1, w2)
+
 
 def _cic_patch_mass(setup: MGSetup, pos, w):
     """CIC scatter of per-particle weights w [Np] into every particle's own
@@ -98,9 +119,11 @@ def _cic_patch_mass(setup: MGSetup, pos, w):
                       jnp.int32)
     cell = r2n[ring]
     cand = jnp.asarray(setup.neighbors, jnp.int32)[cell]      # [Np, 9]
-    Rrows = jnp.asarray(setup.R, pos.dtype)[cand]             # [Np, 9, 3, 3]
+    R9 = jnp.asarray(setup.R9, pos.dtype)
+    r9 = [R9[k][cand] for k in range(9)]                      # 9 x [Np, 9]
     nhat = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
-    ti, pj, ok = setup.patch_coords(Rrows, nhat[:, None, :])
+    ti, pj, ok, _ = setup.patch_coords_soa(
+        r9, nhat[:, 0:1], nhat[:, 1:2], nhat[:, 2:3])
     i0 = jnp.clip(jnp.floor(ti).astype(jnp.int32), 0, N - 2)
     j0 = jnp.clip(jnp.floor(pj).astype(jnp.int32), 0, N - 2)
     fx = jnp.clip(ti - i0, 0.0, 1.0)
@@ -216,9 +239,16 @@ def interp_derivs_to_rays(setup: MGSetup, u, ray_vec, cell):
     lev = setup.levels[0]
     N = lev.N
     dL = lev.dL
-    R = jnp.asarray(setup.R, ray_vec.dtype)[cell]             # [Nr, 3, 3]
-    nhat = ray_vec / jnp.linalg.norm(ray_vec, axis=-1, keepdims=True)
-    ti, pj, ok = setup.patch_coords(R, nhat)
+    # componentwise rotation rows (9 x [Nr] gathers): the [Nr, 3, 3] AoS
+    # gather materialized with (8, 128) trailing-dim padding — 38 GB at
+    # rayOrder 11 on TPU
+    R9 = jnp.asarray(setup.R9, ray_vec.dtype)
+    r9 = [R9[k][cell] for k in range(9)]
+    inv = 1.0 / jnp.linalg.norm(ray_vec, axis=-1)
+    n0 = ray_vec[:, 0] * inv
+    n1 = ray_vec[:, 1] * inv
+    n2 = ray_vec[:, 2] * inv
+    ti, pj, ok, (v0, v1, v2) = setup.patch_coords_soa(r9, n0, n1, n2)
 
     i0 = jnp.clip(jnp.floor(ti).astype(jnp.int32), 1, N - 3)
     j0 = jnp.clip(jnp.floor(pj).astype(jnp.int32), 1, N - 3)
@@ -259,18 +289,23 @@ def interp_derivs_to_rays(setup: MGSetup, u, ray_vec, cell):
     gtp = sample(gtp_f)
     gpp = sample(gpp_f)
 
-    # patch-frame basis vectors at the ray, expressed globally
-    vpatch = jnp.einsum("nij,nj->ni", R, nhat)
-    tpatch, ppatch = _tangent_basis(vpatch)
-    Rt = jnp.swapaxes(R, -1, -2)
-    t_g = jnp.einsum("nij,nj->ni", Rt, tpatch)
-    p_g = jnp.einsum("nij,nj->ni", Rt, ppatch)
-    tg, pg = _tangent_basis(nhat)
+    # patch-frame basis vectors at the ray, expressed globally — all
+    # componentwise ([Nr] lanes; the rotated components v0..v2 come from
+    # patch_coords_soa)
+    tp0, tp1, tp2, pp0, pp1 = _tangent_basis_soa(v0, v1, v2)
+    # global = R^T patch-frame (transpose = column-major rows of R9)
+    tg_0 = r9[0] * tp0 + r9[3] * tp1 + r9[6] * tp2
+    tg_1 = r9[1] * tp0 + r9[4] * tp1 + r9[7] * tp2
+    tg_2 = r9[2] * tp0 + r9[5] * tp1 + r9[8] * tp2
+    pg_0 = r9[0] * pp0 + r9[3] * pp1
+    pg_1 = r9[1] * pp0 + r9[4] * pp1
+    pg_2 = r9[2] * pp0 + r9[5] * pp1
+    t0, t1, t2, p0, p1 = _tangent_basis_soa(n0, n1, n2)
     # B[a,b] = global basis a . rotated patch basis b
-    B00 = jnp.sum(tg * t_g, -1)
-    B01 = jnp.sum(tg * p_g, -1)
-    B10 = jnp.sum(pg * t_g, -1)
-    B11 = jnp.sum(pg * p_g, -1)
+    B00 = t0 * tg_0 + t1 * tg_1 + t2 * tg_2
+    B01 = t0 * pg_0 + t1 * pg_1 + t2 * pg_2
+    B10 = p0 * tg_0 + p1 * tg_1
+    B11 = p0 * pg_0 + p1 * pg_1
 
     g0 = B00 * gt + B01 * gp
     g1 = B10 * gt + B11 * gp
@@ -283,6 +318,15 @@ def interp_derivs_to_rays(setup: MGSetup, u, ray_vec, cell):
     hess = B @ H @ jnp.swapaxes(B, -1, -2)
     okf = ok.astype(u.dtype)
     return (pot * okf, grad * okf[:, None], hess * okf[:, None, None])
+
+
+def _tangent_basis_soa(n0, n1, n2):
+    """Componentwise _tangent_basis: returns (that_x, that_y, that_z,
+    phat_x, phat_y); phat_z is identically 0."""
+    npv = jnp.maximum(jnp.sqrt(n0 * n0 + n1 * n1), 1e-30)
+    inv = 1.0 / npv
+    return (n2 * n0 * inv, n2 * n1 * inv, -(n0 * n0 + n1 * n1) * inv,
+            -n1 * inv, n0 * inv)
 
 
 def _tangent_basis(nhat):

@@ -91,15 +91,22 @@ def main():
     phf = np.radians(ra)
     g = np.stack([np.sin(th) * np.cos(phf), np.sin(th) * np.sin(phf),
                   np.cos(th)], 1)
+    # rays sit at rad(5) = rad_plus1(4) after step(4); sources live between
+    # the rays' radius and the next plane (driver select_plane_gals flow)
     binL = cfg.maxComvDistance / cfg.NumLensPlanes
-    wpm1 = 4 * binL + binL / 2.0
-    grad = rng2.uniform(wpm1 + 10.0, wpm1 + binL - 10.0, ngal)
+    wcur = 5 * binL + binL / 2.0
+    wprev = 4 * binL + binL / 2.0
+    grad = rng2.uniform(wcur + 10.0, wcur + binL - 10.0, ngal)
     gal_pos = g * grad[:, None]
     tab = jaxhp.InterpTables(cfg.rayOrder, dtype=rt.dtype)
 
+    # warm up the compiled chunk kernels
+    gs.find_images_device(cfg, tab, rt.rays_packed, gal_pos[:16384],
+                          np.arange(16384), wcur, wprev,
+                          ring_rows=ring_rows)
     t0 = time.perf_counter()
     images = gs.find_images_device(cfg, tab, rt.rays_packed, gal_pos,
-                                   np.arange(ngal), wpm1 + binL, wpm1,
+                                   np.arange(ngal), wcur, wprev,
                                    ring_rows=ring_rows)
     dt = time.perf_counter() - t0
     print(json.dumps({
