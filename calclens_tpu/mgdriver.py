@@ -194,30 +194,48 @@ def deposit_patches_sph(setup: MGSetup, pos, mass, sl, densfact, backdens,
 @partial(jax.jit, static_argnums=(0, 1))
 def patch_centers_global(setup: MGSetup, li: int):
     """Global unit vectors of every patch cell center [C, N, N, 3]."""
+    vx, vy, vz = _patch_centers_soa(setup, li)
+    return jnp.stack([vx, vy, vz], axis=-1)
+
+
+def _patch_centers_soa(setup: MGSetup, li: int):
+    """Componentwise patch cell centers (vx, vy, vz), each [C, N, N] — no
+    small trailing dim (the [C, N, N, 3] form pads 3 -> 128 lanes)."""
     lev = setup.levels[li]
     i = jnp.arange(lev.N)
     th = i * lev.dL + lev.thetaLoc
     ph = i * lev.dL + lev.phiLoc
     sth, cth = jnp.sin(th), jnp.cos(th)
     sph, cph = jnp.sin(ph), jnp.cos(ph)
-    v = jnp.stack([
-        jnp.outer(sth, cph), jnp.outer(sth, sph),
-        jnp.broadcast_to(cth[:, None], (lev.N, lev.N))], axis=-1)
+    px = jnp.outer(sth, cph)
+    py = jnp.outer(sth, sph)
+    pz = jnp.broadcast_to(cth[:, None], (lev.N, lev.N))
     R = jnp.asarray(setup.R)                                  # [C, 3, 3]
-    # global = R^T v_patch
-    return jnp.einsum("cji,xyj->cxyi", R, v)
+    # global = R^T v_patch, componentwise over the 9 rotation entries
+    def comp(col):
+        return (R[:, 0, col][:, None, None] * px
+                + R[:, 1, col][:, None, None] * py
+                + R[:, 2, col][:, None, None] * pz)
+    return comp(0), comp(1), comp(2)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
 def fill_u_from_map(setup: MGSetup, tab, potmap):
     """Initial guess + Dirichlet BCs: interpolate the SHT potential map at
-    every patch cell center (fill_u_mggrid / fill_bcs_mggrid)."""
-    v = patch_centers_global(setup, 0)
-    theta = jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
-    phi = jnp.arctan2(v[..., 1], v[..., 0])
+    every patch cell center (fill_u_mggrid / fill_bcs_mggrid).
+
+    SoA taps: the [C, N, N, 4] potmap[pix] gather of the AoS form
+    MATERIALIZES with its trailing dim padded 4 -> 128 on TPU (103 GB at
+    bundleOrder 6) — four [C, N, N] gathers instead."""
+    vx, vy, vz = _patch_centers_soa(setup, 0)
+    theta = jnp.arccos(jnp.clip(vz, -1.0, 1.0))
+    phi = jnp.arctan2(vy, vx)
     phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
-    pix, wgt = jaxhp.get_interpol(tab, theta, phi)
-    return jnp.sum(potmap[pix] * wgt, axis=-1).astype(potmap.dtype)
+    pix4, wgt4 = jaxhp.get_interpol_soa(tab, theta, phi)
+    u = 0.0
+    for k in range(4):
+        u = u + potmap[pix4[k]] * wgt4[k]
+    return u.astype(potmap.dtype)
 
 
 def solve_patches(setup: MGSetup, u0, rho, conv_fact=-1.0, max_cycles=20):
